@@ -1,0 +1,2 @@
+from control_box_rst_tpu.core.types import SolverStatus
+from control_box_rst_tpu.core.factory import Factory, register, create
