@@ -1,0 +1,14 @@
+from control_box_rst_tpu.solvers.stage_qp import (
+    StageQP,
+    QPConfig,
+    QPWarmStart,
+    QPSolution,
+    solve_stage_qp,
+    dense_qp_oracle,
+)
+from control_box_rst_tpu.solvers.sqp import (
+    SQPConfig,
+    SQPResult,
+    SQPWarmStart,
+    sqp_solve,
+)

@@ -1,0 +1,224 @@
+"""Jitted SQP solver for stage NLPs.
+
+The single solver that replaces the reference's whole backend stack
+(SURVEY.md §2.2 note): LevenbergMarquardtDense/Sparse (LSQ penalty mode —
+see solvers/lm.py), IPOPT (general NLP mode), and OSQP (QP subproblems —
+solvers/stage_qp.py). Structure:
+
+  linearize (exact AD, batched per stage)
+    → stage QP (block-tridiagonal ADMM, warm-started)
+    → ℓ1-merit backtracking line search (all candidate steps evaluated
+      in parallel — a TPU-friendly replacement for sequential backtracking)
+    → KKT residual check, per-lane convergence mask
+
+Ref anchors: the SQP substrate the reference prepares but never ships
+(`computeSparseJacobianTwoSideBoundedLinearFormAndHessianLagrangian`,
+hyper_graph_optimization_problem_edge_based.cpp:4969), solver status
+(nlp_solver_interface.h:67-116), vertex backup/restore during line search
+(vertex_interface.h:162-169 — here: trajectories are immutable, no backup
+stack needed).
+
+Everything is shape-static: `jax.vmap(lambda x0: sqp_solve(...))` yields
+thousands of independent MPC solves per chip, each with its own convergence
+state (the batched benchmark axis of SURVEY.md §2.7).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from control_box_rst_tpu.core.types import SolverStatus
+from control_box_rst_tpu.ocp.problem import Trajectory
+from control_box_rst_tpu.ocp.transcribe import TranscribedOCP
+from control_box_rst_tpu.solvers.stage_qp import (
+    QPConfig,
+    QPWarmStart,
+    StageQP,
+    solve_stage_qp,
+)
+from control_box_rst_tpu.utils.tree import pytree_dataclass, static_field
+
+
+@pytree_dataclass
+class SQPConfig:
+    max_iter: int = static_field(default=30)
+    qp: QPConfig = static_field(default=None)
+    tol_stat: float = static_field(default=1e-6)
+    tol_feas: float = static_field(default=1e-7)
+    ls_candidates: int = static_field(default=8)
+    ls_c1: float = static_field(default=1e-4)
+    merit_nu_init: float = static_field(default=10.0)
+    psd_clamp: bool = static_field(default=False)
+
+    def __post_init__(self):
+        if self.qp is None:
+            object.__setattr__(self, "qp", QPConfig())
+
+
+class SQPResult(NamedTuple):
+    traj: Trajectory
+    W: jax.Array
+    y_dyn: jax.Array
+    y_gen: jax.Array
+    y_box: jax.Array
+    iterations: jax.Array
+    objective: jax.Array
+    stat_res: jax.Array
+    feas_res: jax.Array
+    status: jax.Array  # SolverStatus int32
+    qp_iters: jax.Array
+
+
+class SQPWarmStart(NamedTuple):
+    W: jax.Array
+    y_dyn: jax.Array
+    y_gen: jax.Array
+    y_box: jax.Array
+
+
+def _psd_clamp(H: jax.Array, floor: float = 1e-8) -> jax.Array:
+    w, V = jnp.linalg.eigh(H)
+    w = jnp.maximum(w, floor)
+    return jnp.einsum("...ij,...j,...kj->...ik", V, w, V)
+
+
+def _merit(ocp: TranscribedOCP, W, lb, ub, nu):
+    f = ocp.objective_from_W(W)
+    c = ocp.interval_residuals(W)
+    r, rl, ru = ocp.general_rows(W)
+    viol_gen = jnp.maximum(0.0, rl - r) + jnp.maximum(0.0, r - ru)
+    viol_box = jnp.maximum(0.0, lb - W) + jnp.maximum(0.0, W - ub)
+    infeas = jnp.sum(jnp.abs(c)) + jnp.sum(viol_gen) + jnp.sum(viol_box)
+    return f + nu * infeas, infeas
+
+
+def sqp_solve(
+    ocp: TranscribedOCP,
+    traj0: Trajectory,
+    cfg: Optional[SQPConfig] = None,
+    warm: Optional[SQPWarmStart] = None,
+) -> SQPResult:
+    """Solve the transcribed OCP starting from traj0. Pure & jittable."""
+    if cfg is None:
+        cfg = SQPConfig()
+    N, nz, nc, ng = ocp.N, ocp.nz, ocp.nc, ocp.ng
+
+    traj0 = ocp.apply_boundary(traj0)
+    W0 = ocp.pack(traj0)
+    dtype = W0.dtype
+
+    pin = ocp.fixed_mask().astype(dtype)
+    free = 1.0 - pin
+    lb, ub = ocp.w_bounds()
+
+    if warm is None:
+        y_dyn0 = jnp.zeros((N, nc), dtype)
+        y_gen0 = jnp.zeros((N + 1, ng), dtype)
+        y_box0 = jnp.zeros((N + 1, nz), dtype)
+    else:
+        W0 = warm.W
+        y_dyn0, y_gen0, y_box0 = warm.y_dyn, warm.y_gen, warm.y_box
+
+    alphas = 0.5 ** jnp.arange(cfg.ls_candidates, dtype=dtype)
+
+    def iteration(state):
+        (W, y_dyn, y_gen, y_box, nu, it, stat_res, feas_res, done, qp_tot) = state
+
+        # ---- linearize (exact AD, all stages batched) ----
+        J, K, c = ocp.interval_jacobians(W)
+        grad = ocp.cost_gradient(W)
+        Hd = ocp.cost_hessian_blocks(W)
+        if cfg.psd_clamp:
+            Hd = _psd_clamp(Hd)
+        r, rl, ru = ocp.general_rows(W)
+        G = ocp.general_row_jacobians(W)
+
+        # ---- pin masking: zero columns of fixed variables ----
+        Jm = J * free[:-1, None, :]
+        Km = K * free[1:, None, :]
+        Gm = G * free[:, None, :]
+        Hm = Hd * free[:, None, :] * free[:, :, None]
+        gm = grad * free
+
+        dlb = jnp.where(free > 0, lb - W, 0.0)
+        dub = jnp.where(free > 0, ub - W, 0.0)
+
+        qp = StageQP(
+            Hd=Hm, g=gm, J=Jm, K=Km, c=c, G=Gm,
+            gl=rl - r, gu=ru - r, dlb=dlb, dub=dub,
+        )
+        sol = solve_stage_qp(
+            qp, cfg.qp,
+            warm=QPWarmStart(
+                delta=jnp.zeros_like(W), y_dyn=y_dyn, y_gen=y_gen, y_box=y_box
+            ),
+        )
+        delta = sol.delta * free
+
+        # ---- ℓ1 merit line search (parallel candidates) ----
+        y_max = jnp.maximum(
+            jnp.max(jnp.abs(sol.y_dyn)),
+            jnp.max(jnp.abs(sol.y_gen)) if ng else 0.0,
+        )
+        nu_new = jnp.maximum(nu, 1.2 * y_max + 1e-3)
+        phi0, infeas0 = _merit(ocp, W, lb, ub, nu_new)
+        dirderiv = jnp.sum(grad * delta) - nu_new * infeas0
+
+        def merit_at(a):
+            phi, _ = _merit(ocp, W + a * delta, lb, ub, nu_new)
+            return phi
+
+        phis = jax.vmap(merit_at)(alphas)
+        ok = phis <= phi0 + cfg.ls_c1 * alphas * jnp.minimum(dirderiv, 0.0)
+        any_ok = jnp.any(ok)
+        idx = jnp.argmax(ok)  # first True = largest α
+        alpha = jnp.where(any_ok, alphas[idx], alphas[-1])
+        W_new = W + alpha * delta
+
+        # ---- KKT residuals (at current linearization, QP multipliers) ----
+        grad_lag = gm.at[:-1].add(jnp.einsum("kri,kr->ki", Jm, sol.y_dyn))
+        grad_lag = grad_lag.at[1:].add(jnp.einsum("kri,kr->ki", Km, sol.y_dyn))
+        if ng:
+            grad_lag = grad_lag + jnp.einsum("kri,kr->ki", Gm, sol.y_gen)
+        grad_lag = grad_lag + sol.y_box * free
+        stat = jnp.max(jnp.abs(grad_lag * free))
+        viol = jnp.maximum(0.0, rl - r) + jnp.maximum(0.0, r - ru)
+        feas = jnp.maximum(jnp.max(jnp.abs(c)), jnp.max(viol) if ng else 0.0)
+        step_norm = jnp.max(jnp.abs(alpha * delta))
+
+        converged = ((stat < cfg.tol_stat) & (feas < cfg.tol_feas)) | (
+            (step_norm < 1e-12) & (feas < cfg.tol_feas)
+        )
+        return (
+            W_new, sol.y_dyn, sol.y_gen, sol.y_box, nu_new,
+            it + 1, stat, feas, converged, qp_tot + sol.iters,
+        )
+
+    def cond(state):
+        it, done = state[5], state[8]
+        return (it < cfg.max_iter) & (~done)
+
+    big = jnp.asarray(jnp.inf, dtype)
+    init = (
+        W0, y_dyn0, y_gen0, y_box0,
+        jnp.asarray(cfg.merit_nu_init, dtype),
+        jnp.asarray(0, jnp.int32), big, big,
+        jnp.asarray(False), jnp.asarray(0, jnp.int32),
+    )
+    (W, y_dyn, y_gen, y_box, nu, it, stat, feas, done, qp_tot) = jax.lax.while_loop(
+        cond, iteration, init
+    )
+
+    status = jnp.where(
+        done,
+        jnp.asarray(int(SolverStatus.CONVERGED), jnp.int32),
+        jnp.asarray(int(SolverStatus.EARLY_TERMINATED), jnp.int32),
+    )
+    traj = ocp.unpack(W)
+    return SQPResult(
+        traj=traj, W=W, y_dyn=y_dyn, y_gen=y_gen, y_box=y_box,
+        iterations=it, objective=ocp.objective_from_W(W),
+        stat_res=stat, feas_res=feas, status=status, qp_iters=qp_tot,
+    )

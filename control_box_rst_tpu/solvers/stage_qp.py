@@ -1,0 +1,247 @@
+"""Stage-structured ADMM QP solver (OSQP-style, block-tridiagonal direct solve).
+
+Ref parity: replaces the OSQP backend (ref: src/optimization/include/
+corbo-optimization/solver/qp_solver_osqp.h:47, src/solver/qp_solver_osqp.cpp:
+85-179) and the two-side-bounded linear form interface the reference prepares
+for QP/SQP backends (optimization_problem_interface.h:569,614). Same ADMM
+scheme as OSQP (splitting, over-relaxation α, per-row ρ with the equality-row
+boost); the sparse CSC + QDLDL factorization is replaced by the block-
+tridiagonal Cholesky of ops/btridiag.py — factor once per QP, O(N·nz³),
+then O(N·nz²) per ADMM iteration.
+
+QP canonical form (δ = step on stage variables w_k = [x;u;dt]):
+
+  min  Σ ½ δ_kᵀ Hd_k δ_k + g_kᵀ δ_k
+  s.t. J_k δ_k + K_k δ_{k+1} = -c_k          (interval rows: defects + ties)
+       rl_k - r_k ≤ G_k δ_k ≤ ru_k - r_k     (general rows)
+       dlb_k ≤ δ_k ≤ dub_k                   (box rows, pins have [0,0])
+
+Everything is fully batched: `vmap` of `solve` turns each stage operation
+into [B, …] tensor ops; each lane carries its own ADMM state and termination
+is lockstep-masked.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from control_box_rst_tpu.ops.btridiag import btridiag_cholesky, btridiag_solve
+from control_box_rst_tpu.utils.tree import pytree_dataclass, static_field
+
+
+@pytree_dataclass
+class StageQP:
+    """Data of one stage-structured QP (shapes: [N+1,…] stages, [N,…] intervals)."""
+
+    Hd: jax.Array  # [N+1, nz, nz]
+    g: jax.Array  # [N+1, nz]
+    J: jax.Array  # [N, nc, nz]
+    K: jax.Array  # [N, nc, nz]
+    c: jax.Array  # [N, nc]
+    G: jax.Array  # [N+1, ng, nz]
+    gl: jax.Array  # [N+1, ng]  (= rl - r)
+    gu: jax.Array  # [N+1, ng]
+    dlb: jax.Array  # [N+1, nz]
+    dub: jax.Array  # [N+1, nz]
+
+
+@pytree_dataclass
+class QPConfig:
+    sigma: float = static_field(default=1e-6)
+    rho: float = static_field(default=0.1)
+    rho_eq_scale: float = static_field(default=1e3)
+    alpha: float = static_field(default=1.6)
+    max_iter: int = static_field(default=200)
+    tol: float = static_field(default=1e-8)
+    check_every: int = static_field(default=10)
+
+
+class QPSolution(NamedTuple):
+    delta: jax.Array  # [N+1, nz]
+    y_dyn: jax.Array  # [N, nc]
+    y_gen: jax.Array  # [N+1, ng]
+    y_box: jax.Array  # [N+1, nz]
+    iters: jax.Array  # int32
+    prim_res: jax.Array
+    dual_res: jax.Array
+
+
+class QPWarmStart(NamedTuple):
+    delta: jax.Array
+    y_dyn: jax.Array
+    y_gen: jax.Array
+    y_box: jax.Array
+
+
+def zero_warm_start(N: int, nz: int, nc: int, ng: int, dtype=jnp.float64) -> QPWarmStart:
+    return QPWarmStart(
+        delta=jnp.zeros((N + 1, nz), dtype),
+        y_dyn=jnp.zeros((N, nc), dtype),
+        y_gen=jnp.zeros((N + 1, ng), dtype),
+        y_box=jnp.zeros((N + 1, nz), dtype),
+    )
+
+
+def _assemble_M(qp: StageQP, cfg: QPConfig, rho_gen, rho_box):
+    """Block-tridiagonal normal matrix M = Hd + σI + Aᵀdiag(ρ)A."""
+    Np1, nz, _ = qp.Hd.shape
+    rho_eq = cfg.rho * cfg.rho_eq_scale
+    eye = jnp.eye(nz, dtype=qp.Hd.dtype)
+    D = qp.Hd + cfg.sigma * eye[None]
+    # dynamics rows: ρ_eq (JᵀJ at k, KᵀK at k+1, JᵀK off-diag)
+    JtJ = jnp.einsum("kri,krj->kij", qp.J, qp.J)
+    KtK = jnp.einsum("kri,krj->kij", qp.K, qp.K)
+    D = D.at[:-1].add(rho_eq * JtJ)
+    D = D.at[1:].add(rho_eq * KtK)
+    O = rho_eq * jnp.einsum("kri,krj->kij", qp.J, qp.K)  # [N, nz, nz]
+    # general rows: per-row ρ
+    if qp.G.shape[1] > 0:
+        D = D + jnp.einsum("kri,kr,krj->kij", qp.G, rho_gen, qp.G)
+    # box rows: diagonal per-row ρ
+    D = D + jax.vmap(jnp.diag)(rho_box)
+    return D, O
+
+
+def solve_stage_qp(
+    qp: StageQP,
+    cfg: QPConfig,
+    warm: Optional[QPWarmStart] = None,
+) -> QPSolution:
+    """OSQP-style ADMM on the stage QP. Returns step + multipliers."""
+    Np1, nz = qp.g.shape
+    N = Np1 - 1
+    nc = qp.c.shape[1]
+    ng = qp.G.shape[1]
+    dtype = qp.g.dtype
+
+    rho_eq = cfg.rho * cfg.rho_eq_scale
+    # per-row ρ for general rows: equality rows (gl == gu) get the boost
+    gen_is_eq = jnp.isfinite(qp.gl) & (qp.gl == qp.gu)
+    rho_gen = jnp.where(gen_is_eq, rho_eq, cfg.rho).astype(dtype)
+    box_is_eq = qp.dlb == qp.dub
+    rho_box = jnp.where(box_is_eq, rho_eq, cfg.rho).astype(dtype)
+
+    D, O = _assemble_M(qp, cfg, rho_gen, rho_box)
+    Ld, Lo = btridiag_cholesky(D, O)
+
+    def A_mul(x):
+        d = jnp.einsum("kri,ki->kr", qp.J, x[:-1]) + jnp.einsum(
+            "kri,ki->kr", qp.K, x[1:]
+        )
+        ggg = jnp.einsum("kri,ki->kr", qp.G, x) if ng else jnp.zeros((Np1, 0), dtype)
+        return d, ggg, x
+
+    def At_mul(vd, vg, vb):
+        out = jnp.zeros((Np1, nz), dtype)
+        out = out.at[:-1].add(jnp.einsum("kri,kr->ki", qp.J, vd))
+        out = out.at[1:].add(jnp.einsum("kri,kr->ki", qp.K, vd))
+        if ng:
+            out = out + jnp.einsum("kri,kr->ki", qp.G, vg)
+        return out + vb
+
+    # constraint set bounds
+    l_dyn = -qp.c
+    u_dyn = -qp.c
+
+    if warm is None:
+        warm = zero_warm_start(N, nz, nc, ng, dtype)
+    x = warm.delta
+    y_d, y_g, y_b = warm.y_dyn, warm.y_gen, warm.y_box
+    z_d, z_g, z_b = A_mul(x)
+    z_d = jnp.clip(z_d, l_dyn, u_dyn)
+    if ng:
+        z_g = jnp.clip(z_g, qp.gl, qp.gu)
+    z_b = jnp.clip(z_b, qp.dlb, qp.dub)
+
+    big = jnp.asarray(jnp.inf, dtype)
+
+    def admm_iter(state):
+        x, z_d, z_g, z_b, y_d, y_g, y_b, it, pr, dr = state
+        rhs = (
+            cfg.sigma * x
+            - qp.g
+            + At_mul(rho_eq * z_d - y_d, rho_gen * z_g - y_g, rho_box * z_b - y_b)
+        )
+        x_t = btridiag_solve(Ld, Lo, rhs)
+        a = cfg.alpha
+        Ax_d, Ax_g, Ax_b = A_mul(x_t)
+        x_new = a * x_t + (1 - a) * x
+
+        def family(Ax, z, y, rho, lo, hi):
+            v = a * Ax + (1 - a) * z
+            z_new = jnp.clip(v + y / rho, lo, hi)
+            y_new = y + rho * (v - z_new)
+            return z_new, y_new
+
+        z_d2, y_d2 = family(Ax_d, z_d, y_d, rho_eq, l_dyn, u_dyn)
+        if ng:
+            z_g2, y_g2 = family(Ax_g, z_g, y_g, rho_gen, qp.gl, qp.gu)
+        else:
+            z_g2, y_g2 = z_g, y_g
+        z_b2, y_b2 = family(Ax_b, z_b, y_b, rho_box, qp.dlb, qp.dub)
+
+        # residuals (OSQP §3.4): primal ‖Ax − z‖∞, dual ‖ρ Aᵀ(z − z_prev)‖∞
+        pr_new = jnp.maximum(
+            jnp.max(jnp.abs(Ax_d - z_d2)),
+            jnp.maximum(
+                jnp.max(jnp.abs(Ax_g - z_g2)) if ng else 0.0,
+                jnp.max(jnp.abs(Ax_b - z_b2)),
+            ),
+        )
+        dz = At_mul(
+            rho_eq * (z_d2 - z_d), rho_gen * (z_g2 - z_g), rho_box * (z_b2 - z_b)
+        )
+        dr_new = jnp.max(jnp.abs(dz))
+        return (x_new, z_d2, z_g2, z_b2, y_d2, y_g2, y_b2, it + 1, pr_new, dr_new)
+
+    def cond(state):
+        it = state[7]
+        pr, dr = state[8], state[9]
+        not_conv = (pr > cfg.tol) | (dr > cfg.tol)
+        return (it < cfg.max_iter) & not_conv
+
+    init = (x, z_d, z_g, z_b, y_d, y_g, y_b, jnp.asarray(0, jnp.int32), big, big)
+    out = jax.lax.while_loop(cond, admm_iter, init)
+    x, z_d, z_g, z_b, y_d, y_g, y_b, it, pr, dr = out
+    return QPSolution(
+        delta=x, y_dyn=y_d, y_gen=y_g, y_box=y_b, iters=it, prim_res=pr, dual_res=dr
+    )
+
+
+def dense_qp_oracle(qp: StageQP, cfg: QPConfig = None):
+    """Dense active-set-free oracle: solve the equality-constrained QP with
+    inequality handling via a simple projected solve — FOR TESTS ONLY.
+
+    This materializes the full KKT system like the reference's
+    ignore-structure problem (hyper_graph_optimization_problem_ignore_
+    structure.h:34) and solves the *equality-only* QP (interval rows +
+    pinned box rows) densely. General rows/box inequalities are ignored, so
+    compare only on problems where they are inactive."""
+    Np1, nz = qp.g.shape
+    N = Np1 - 1
+    nc = qp.c.shape[1]
+    n = Np1 * nz
+    H = jnp.zeros((n, n), qp.g.dtype)
+    for k in range(Np1):
+        H = H.at[k * nz : (k + 1) * nz, k * nz : (k + 1) * nz].set(qp.Hd[k])
+    g = qp.g.reshape(-1)
+    # equality rows: dynamics (+ ties); pins handled as large diagonal penalty
+    A = jnp.zeros((N * nc, n), qp.g.dtype)
+    for k in range(N):
+        A = A.at[k * nc : (k + 1) * nc, k * nz : (k + 1) * nz].set(qp.J[k])
+        A = A.at[k * nc : (k + 1) * nc, (k + 1) * nz : (k + 2) * nz].set(qp.K[k])
+    b = (-qp.c).reshape(-1)
+    pin = (qp.dlb == qp.dub).reshape(-1)
+    bigpen = 1e10
+    H = H + bigpen * jnp.diag(pin.astype(qp.g.dtype))
+    m = N * nc
+    KKT = jnp.zeros((n + m, n + m), qp.g.dtype)
+    KKT = KKT.at[:n, :n].set(H + 1e-12 * jnp.eye(n))
+    KKT = KKT.at[:n, n:].set(A.T)
+    KKT = KKT.at[n:, :n].set(A)
+    sol = jnp.linalg.solve(KKT, jnp.concatenate([-g, b]))
+    delta = sol[:n].reshape(Np1, nz)
+    lam = sol[n:].reshape(N, nc)
+    return delta, lam
