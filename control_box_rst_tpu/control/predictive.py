@@ -1,0 +1,142 @@
+"""Predictive (MPC) controller.
+
+Ref parity: `PredictiveController` (ref: src/controllers/include/
+corbo-controllers/predictive_controller.h:50-77; step loop at
+src/predictive_controller.cpp:46-80): per control step it calls the
+structured OCP `compute()` `_num_ocp_iterations` times, extracts the first
+control, and auto-updates u_prev; warm starting comes from the grid's
+`warmStartShifting` (full_discretization_grid_base.cpp:230).
+
+TPU-first redesign: the OCP solve is the jitted SQP (solvers/sqp.py); the
+controller carry holds the full warm-start state (primal W + duals), and
+`shift_warm_start` implements the moving-horizon shift + tail extrapolation
+as pure array ops. The whole controller step jits and vmaps — a batch of
+plants each gets its own warm-start carry.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from control_box_rst_tpu.control.base import Controller, ControlOutput
+from control_box_rst_tpu.ocp.problem import Trajectory
+from control_box_rst_tpu.ocp.transcribe import TranscribedOCP
+from control_box_rst_tpu.solvers.sqp import SQPConfig, SQPWarmStart, sqp_solve
+from control_box_rst_tpu.utils.tree import pytree_dataclass, static_field
+
+
+class MPCCarry(NamedTuple):
+    W: jax.Array       # [N+1, nz] warm-start primal
+    y_dyn: jax.Array   # [N, nc]
+    y_gen: jax.Array   # [N+1, ng]
+    y_box: jax.Array   # [N+1, nz]
+    u_prev: jax.Array  # [nu] last applied control (ref: caches u_prev)
+
+
+def shift_warm_start(W: jax.Array, nx: int) -> jax.Array:
+    """Moving-horizon shift: drop stage 0, duplicate-extrapolate the tail.
+
+    (ref: FullDiscretizationGridBase::warmStartShifting,
+    full_discretization_grid_base.cpp:230 — shift by one stage, extrapolate
+    the final state linearly, hold the final control.)"""
+    W_shift = jnp.concatenate([W[1:], W[-1:]], axis=0)
+    # linear extrapolation of terminal state: x_N' = 2 x_N - x_{N-1}
+    x_extrap = 2.0 * W[-1, :nx] - W[-2, :nx]
+    W_shift = W_shift.at[-1, :nx].set(x_extrap)
+    # new stage N-1 needs control/dt: hold from previous last interval (N-1
+    # slot now holds old stage N whose u/dt are dummies) → copy old N-1
+    W_shift = W_shift.at[-2, nx:].set(W[-2, nx:])
+    # stage N dummies stay zero
+    W_shift = W_shift.at[-1, nx:].set(0.0)
+    return W_shift
+
+
+@pytree_dataclass
+class PredictiveController(Controller):
+    """MPC controller wrapping a TranscribedOCP + SQP config."""
+
+    ocp: TranscribedOCP = None
+    dt: jax.Array = 0.1  # grid dt (fixed grids) / initial dt guess (variable)
+    cfg: SQPConfig = static_field(default=None)
+    num_ocp_iterations: int = static_field(default=1)
+    warm_start_shift: bool = static_field(default=True)
+
+    def __post_init__(self):
+        if self.cfg is None:
+            object.__setattr__(self, "cfg", SQPConfig())
+        if self.num_ocp_iterations < 1:
+            raise ValueError("num_ocp_iterations must be >= 1")
+
+    @property
+    def horizon(self) -> int:
+        return self.ocp.N
+
+    def init_carry(self, x0: jax.Array) -> MPCCarry:
+        ocp = self.ocp
+        N, nz, nc, ng = ocp.N, ocp.nz, ocp.nc, ocp.ng
+        xf = ocp.bc.xf if ocp.bc.xf is not None else ocp.refs.xref[-1]
+        dt0 = jnp.asarray(self.dt)
+        if ocp.grid.dt_is_variable:
+            b = ocp.bounds
+            dt0 = jnp.clip(
+                dt0,
+                jnp.where(jnp.isfinite(b.dt_lb), b.dt_lb, dt0),
+                jnp.where(jnp.isfinite(b.dt_ub), b.dt_ub, dt0),
+            )
+        traj = Trajectory.linear_interp(x0, xf, N, ocp.nu, dt0)
+        W = ocp.pack(traj)
+        dtype = W.dtype
+        return MPCCarry(
+            W=W,
+            y_dyn=jnp.zeros((N, nc), dtype),
+            y_gen=jnp.zeros((N + 1, ng), dtype),
+            y_box=jnp.zeros((N + 1, nz), dtype),
+            u_prev=jnp.zeros((ocp.nu,), dtype),
+        )
+
+    def step(self, carry: MPCCarry, x: jax.Array, t, dt) -> tuple:
+        ocp = self.ocp.replace(bc=self.ocp.bc.replace(x0=x))
+        W = carry.W
+        # overwrite x0 row, keep rest of warm start
+        W = W.at[0, : ocp.nx].set(x)
+        warm = SQPWarmStart(
+            W=W, y_dyn=carry.y_dyn, y_gen=carry.y_gen, y_box=carry.y_box
+        )
+        traj_init = ocp.unpack(W)
+        res = None
+        for _ in range(self.num_ocp_iterations):
+            res = sqp_solve(ocp, traj_init, self.cfg, warm=warm)
+            warm = SQPWarmStart(
+                W=res.W, y_dyn=res.y_dyn, y_gen=res.y_gen, y_box=res.y_box
+            )
+            traj_init = res.traj
+
+        u0 = res.traj.U[0]
+        if self.warm_start_shift:
+            W_next = shift_warm_start(res.W, ocp.nx)
+            y_dyn = jnp.concatenate([res.y_dyn[1:], res.y_dyn[-1:]], axis=0)
+            y_gen = jnp.concatenate([res.y_gen[1:], res.y_gen[-1:]], axis=0)
+            y_box = jnp.concatenate([res.y_box[1:], res.y_box[-1:]], axis=0)
+        else:
+            W_next, y_dyn, y_gen, y_box = res.W, res.y_dyn, res.y_gen, res.y_box
+
+        new_carry = MPCCarry(
+            W=W_next, y_dyn=y_dyn, y_gen=y_gen, y_box=y_box, u_prev=u0
+        )
+        out = ControlOutput(
+            u=u0,
+            u_seq=res.traj.U,
+            x_seq=res.traj.X,
+            ok=res.status == 1,
+            info={
+                "objective": res.objective,
+                "sqp_iters": res.iterations,
+                "qp_iters": res.qp_iters,
+                "stat_res": res.stat_res,
+                "feas_res": res.feas_res,
+                "dts": res.traj.dts,
+            },
+        )
+        return new_carry, out
