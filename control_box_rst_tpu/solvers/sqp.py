@@ -51,6 +51,9 @@ class SQPConfig:
     ls_c1: float = static_field(default=1e-4)
     merit_nu_init: float = static_field(default=10.0)
     psd_clamp: bool = static_field(default=False)
+    # proximal damping λ‖δ‖² added to the QP Hessian diagonal — stabilizes
+    # degenerate problems (e.g. non-uniform minimum time, SURVEY.md §7(e))
+    prox: float = static_field(default=0.0)
 
     def __post_init__(self):
         if self.qp is None:
@@ -132,6 +135,8 @@ def sqp_solve(
         Hd = ocp.cost_hessian_blocks(W)
         if cfg.psd_clamp:
             Hd = _psd_clamp(Hd)
+        if cfg.prox:
+            Hd = Hd + cfg.prox * jnp.eye(nz, dtype=dtype)[None]
         r, rl, ru = ocp.general_rows(W)
         G = ocp.general_row_jacobians(W)
 

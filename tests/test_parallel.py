@@ -1,0 +1,70 @@
+"""Sharded batch-solve tests on the 8-device virtual CPU mesh
+(SURVEY.md §4: fake pods via xla_force_host_platform_device_count)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from control_box_rst_tpu.models import DoubleIntegratorContinuous
+from control_box_rst_tpu.ocp import (
+    Bounds,
+    CompositeCost,
+    QuadraticFinalStateCost,
+    QuadraticFormCost,
+    finite_differences_grid,
+    transcribe,
+)
+from control_box_rst_tpu.parallel import (
+    make_batched_solver,
+    make_mesh,
+    shard_batch,
+)
+from control_box_rst_tpu.solvers import QPConfig, SQPConfig
+
+
+def _config1_ocp(N=20):
+    sys_ = DoubleIntegratorContinuous()
+    grid = finite_differences_grid(N, fd_scheme="crank_nicolson")
+    cost = CompositeCost(
+        costs=(
+            QuadraticFormCost(Q=jnp.eye(2), R=0.1 * jnp.eye(1)),
+            QuadraticFinalStateCost(Qf=10.0 * jnp.eye(2)),
+        )
+    )
+    bounds = Bounds.unbounded(2, 1).with_u(-1.0, 1.0).with_dt(0.1, 0.1)
+    return transcribe(sys_, grid, cost, bounds=bounds, x0=jnp.zeros(2))
+
+
+def test_sharded_batch_solve_matches_single_device():
+    assert jax.device_count() == 8
+    mesh = make_mesh()
+    ocp = _config1_ocp()
+    cfg = SQPConfig(max_iter=6, qp=QPConfig(max_iter=200, tol=1e-10))
+
+    B = 16
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(-1, 1, size=(B, 2)))
+
+    solver_sharded = make_batched_solver(ocp, cfg, dt_init=0.1, mesh=mesh)
+    solver_local = make_batched_solver(ocp, cfg, dt_init=0.1)
+
+    x0s_sharded = shard_batch(x0s, mesh)
+    U_s, obj_s, st_s, it_s = solver_sharded(x0s_sharded)
+    U_l, obj_l, st_l, it_l = solver_local(x0s)
+
+    np.testing.assert_allclose(np.asarray(U_s), np.asarray(U_l), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(obj_s), np.asarray(obj_l), atol=1e-10)
+    # sharding actually happened
+    assert len(U_s.sharding.device_set) == 8
+
+
+def test_sharded_solution_is_partitioned():
+    mesh = make_mesh()
+    ocp = _config1_ocp(N=10)
+    solver = make_batched_solver(
+        ocp, SQPConfig(max_iter=4), dt_init=0.1, mesh=mesh
+    )
+    x0s = shard_batch(jnp.ones((8, 2)) * 0.5, mesh)
+    U, obj, st, it = solver(x0s)
+    # each device holds exactly its shard
+    shard_sizes = {s.data.shape[0] for s in U.addressable_shards}
+    assert shard_sizes == {1}
