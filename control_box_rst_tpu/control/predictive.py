@@ -33,6 +33,7 @@ class MPCCarry(NamedTuple):
     y_gen: jax.Array   # [N+1, ng]
     y_box: jax.Array   # [N+1, nz]
     u_prev: jax.Array  # [nu] last applied control (ref: caches u_prev)
+    n_active: jax.Array  # active interval count (grid adaptation)
 
 
 def shift_warm_start(W: jax.Array, nx: int) -> jax.Array:
@@ -62,6 +63,8 @@ class PredictiveController(Controller):
     cfg: SQPConfig = static_field(default=None)
     num_ocp_iterations: int = static_field(default=1)
     warm_start_shift: bool = static_field(default=True)
+    # grid adaptation strategy (ref: FiniteDifferencesVariableGrid::adaptGrid)
+    adaptation: object = None
 
     def __post_init__(self):
         if self.cfg is None:
@@ -94,11 +97,24 @@ class PredictiveController(Controller):
             y_gen=jnp.zeros((N + 1, ng), dtype),
             y_box=jnp.zeros((N + 1, nz), dtype),
             u_prev=jnp.zeros((ocp.nu,), dtype),
+            n_active=jnp.asarray(N, jnp.int32),
         )
 
     def step(self, carry: MPCCarry, x: jax.Array, t, dt) -> tuple:
         ocp = self.ocp.replace(bc=self.ocp.bc.replace(x0=x))
         W = carry.W
+        n_active = carry.n_active
+        # grid adaptation before the solve (ref: adaptGrid at grid update,
+        # finite_differences_variable_grid.cpp:66)
+        if self.adaptation is not None:
+            from control_box_rst_tpu.ocp.adaptation import stage_mask_from_n
+
+            W, n_active = self.adaptation.adapt(
+                W, n_active, ocp.nx, ocp.nu, ocp.N
+            )
+            ocp = ocp.replace(
+                stage_mask=stage_mask_from_n(n_active, ocp.N, W.dtype)
+            )
         # overwrite x0 row, keep rest of warm start
         W = W.at[0, : ocp.nx].set(x)
         warm = SQPWarmStart(
@@ -123,7 +139,8 @@ class PredictiveController(Controller):
             W_next, y_dyn, y_gen, y_box = res.W, res.y_dyn, res.y_gen, res.y_box
 
         new_carry = MPCCarry(
-            W=W_next, y_dyn=y_dyn, y_gen=y_gen, y_box=y_box, u_prev=u0
+            W=W_next, y_dyn=y_dyn, y_gen=y_gen, y_box=y_box, u_prev=u0,
+            n_active=n_active,
         )
         out = ControlOutput(
             u=u0,
@@ -137,6 +154,7 @@ class PredictiveController(Controller):
                 "stat_res": res.stat_res,
                 "feas_res": res.feas_res,
                 "dts": res.traj.dts,
+                "n_active": n_active,
             },
         )
         return new_carry, out

@@ -148,7 +148,11 @@ class TranscribedOCP:
         x, u, dt = self.split_w(w, nx, nu)
         x1 = w1[:nx]
         m = self.stage_mask[k]
-        defect = self._defect_fn()(x, u, x1, dt)
+        # guard: inactive intervals may carry dt = 0, and FD defects divide
+        # by dt — evaluate them at a safe dt (result is masked out anyway;
+        # without the guard, 0 · inf = NaN poisons the masked sum)
+        dt_safe = jnp.where(m > 0, dt, jnp.ones_like(dt))
+        defect = self._defect_fn()(x, u, x1, dt_safe)
         # inactive interval → identity chain (keeps tail pinned, QP regular)
         defect = m * defect + (1.0 - m) * (x1 - x)
         rows = [defect]

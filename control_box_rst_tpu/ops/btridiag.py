@@ -21,23 +21,29 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from control_box_rst_tpu.ops.smallmat import (
+    chol_small,
+    solve_lower_mat,
+    solve_lower_vec,
+    solve_upperT_vec,
+)
+
 
 def _solve_tri_lower(L: jax.Array, B: jax.Array) -> jax.Array:
-    """Solve L X = B with L lower-triangular. B may be a matrix or vector."""
-    vec = B.ndim == 1
-    if vec:
-        B = B[:, None]
-    X = jax.scipy.linalg.solve_triangular(L, B, lower=True)
-    return X[:, 0] if vec else X
+    """Solve L X = B with L lower-triangular (unrolled small-matrix kernel —
+    full f32 precision on TPU, no MXU tile padding; see ops/smallmat.py)."""
+    if B.ndim == L.ndim - 1:
+        return solve_lower_vec(L, B)
+    return solve_lower_mat(L, B)
 
 
 def _solve_tri_upper_T(L: jax.Array, B: jax.Array) -> jax.Array:
     """Solve Lᵀ X = B with L lower-triangular."""
-    vec = B.ndim == 1
-    if vec:
-        B = B[:, None]
-    X = jax.scipy.linalg.solve_triangular(L, B, lower=True, trans=1)
-    return X[:, 0] if vec else X
+    if B.ndim == L.ndim - 1:
+        return solve_upperT_vec(L, B)
+    # matrix rhs: column-wise via vec solves (rarely used)
+    cols = [solve_upperT_vec(L, B[..., :, j]) for j in range(B.shape[-1])]
+    return jnp.stack(cols, axis=-1)
 
 
 def btridiag_cholesky(D: jax.Array, O: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -49,7 +55,7 @@ def btridiag_cholesky(D: jax.Array, O: jax.Array) -> Tuple[jax.Array, jax.Array]
     Returns (Ld, Lo): Ld [K, nz, nz] lower-Cholesky factors of the Schur
     complements, Lo [K-1, nz, nz] sub-diagonal blocks of L, where M = L Lᵀ.
     """
-    L0 = jnp.linalg.cholesky(D[0])
+    L0 = chol_small(D[0])
 
     def body(Lprev, inputs):
         Ok, Dk1 = inputs
@@ -57,7 +63,7 @@ def btridiag_cholesky(D: jax.Array, O: jax.Array) -> Tuple[jax.Array, jax.Array]
         X = _solve_tri_lower(Lprev, Ok)  # Lprev X = O_k → X = Lprev^{-1} O_k
         Lo_k = X.T  # [nz, nz]
         S = Dk1 - Lo_k @ Lo_k.T
-        Lk1 = jnp.linalg.cholesky(S)
+        Lk1 = chol_small(S)
         return Lk1, (Lk1, Lo_k)
 
     _, (Ld_rest, Lo) = jax.lax.scan(body, L0, (O, D[1:]))

@@ -127,7 +127,9 @@ def sqp_solve(
     alphas = 0.5 ** jnp.arange(cfg.ls_candidates, dtype=dtype)
 
     def iteration(state):
-        (W, y_dyn, y_gen, y_box, nu, it, stat_res, feas_res, done, qp_tot) = state
+        (W0_it, y_dyn0_it, y_gen0_it, y_box0_it, nu, it, stat_res0, feas_res0,
+         done, qp_tot) = state
+        W, y_dyn, y_gen, y_box = W0_it, y_dyn0_it, y_gen0_it, y_box0_it
 
         # ---- linearize (exact AD, all stages batched) ----
         J, K, c = ocp.interval_jacobians(W)
@@ -196,9 +198,19 @@ def sqp_solve(
         converged = ((stat < cfg.tol_stat) & (feas < cfg.tol_feas)) | (
             (step_norm < 1e-12) & (feas < cfg.tol_feas)
         )
+        # freeze converged lanes: under vmap the while_loop runs lockstep
+        # until ALL lanes finish, and extra iterations must not move a lane
+        # that already satisfied its KKT tolerances
+        W_new = jnp.where(done, W0_it, W_new)
+        y_dyn_new = jnp.where(done, y_dyn0_it, sol.y_dyn)
+        y_gen_new = jnp.where(done, y_gen0_it, sol.y_gen)
+        y_box_new = jnp.where(done, y_box0_it, sol.y_box)
+        stat = jnp.where(done, stat_res0, stat)
+        feas = jnp.where(done, feas_res0, feas)
+        it_new = jnp.where(done, it, it + 1)
         return (
-            W_new, sol.y_dyn, sol.y_gen, sol.y_box, nu_new,
-            it + 1, stat, feas, converged, qp_tot + sol.iters,
+            W_new, y_dyn_new, y_gen_new, y_box_new, nu_new,
+            it_new, stat, feas, converged | done, qp_tot + sol.iters,
         )
 
     def cond(state):

@@ -53,9 +53,14 @@ class QPConfig:
     rho: float = static_field(default=0.1)
     rho_eq_scale: float = static_field(default=1e3)
     alpha: float = static_field(default=1.6)
-    max_iter: int = static_field(default=200)
+    max_iter: int = static_field(default=200)  # total ADMM iteration budget
     tol: float = static_field(default=1e-8)
     check_every: int = static_field(default=10)
+    # ρ adaptation (OSQP §5.2): every `iters_per_round` iterations, rescale ρ
+    # by sqrt(pr/dr) (clipped) and refactorize. Rounds = max_iter / round.
+    iters_per_round: int = static_field(default=50)
+    rho_min: float = static_field(default=1e-4)
+    rho_max: float = static_field(default=1e4)
 
 
 class QPSolution(NamedTuple):
@@ -84,10 +89,9 @@ def zero_warm_start(N: int, nz: int, nc: int, ng: int, dtype=jnp.float64) -> QPW
     )
 
 
-def _assemble_M(qp: StageQP, cfg: QPConfig, rho_gen, rho_box):
+def _assemble_M(qp: StageQP, cfg: QPConfig, rho_eq, rho_gen, rho_box):
     """Block-tridiagonal normal matrix M = Hd + σI + Aᵀdiag(ρ)A."""
     Np1, nz, _ = qp.Hd.shape
-    rho_eq = cfg.rho * cfg.rho_eq_scale
     eye = jnp.eye(nz, dtype=qp.Hd.dtype)
     D = qp.Hd + cfg.sigma * eye[None]
     # dynamics rows: ρ_eq (JᵀJ at k, KᵀK at k+1, JᵀK off-diag)
@@ -109,22 +113,27 @@ def solve_stage_qp(
     cfg: QPConfig,
     warm: Optional[QPWarmStart] = None,
 ) -> QPSolution:
-    """OSQP-style ADMM on the stage QP. Returns step + multipliers."""
+    """OSQP-style ADMM on the stage QP with ρ adaptation.
+
+    Outer rounds (while_loop): factor M with the current ρ, run
+    `iters_per_round` fixed ADMM iterations (fori_loop), rescale ρ by
+    √(pr/dr) (OSQP §5.2 rule) and refactorize — until tolerances or the
+    iteration budget. Unscaled duals y are carried, so ρ changes need no
+    dual rescaling."""
     Np1, nz = qp.g.shape
     N = Np1 - 1
     nc = qp.c.shape[1]
     ng = qp.G.shape[1]
     dtype = qp.g.dtype
 
-    rho_eq = cfg.rho * cfg.rho_eq_scale
-    # per-row ρ for general rows: equality rows (gl == gu) get the boost
     gen_is_eq = jnp.isfinite(qp.gl) & (qp.gl == qp.gu)
-    rho_gen = jnp.where(gen_is_eq, rho_eq, cfg.rho).astype(dtype)
     box_is_eq = qp.dlb == qp.dub
-    rho_box = jnp.where(box_is_eq, rho_eq, cfg.rho).astype(dtype)
 
-    D, O = _assemble_M(qp, cfg, rho_gen, rho_box)
-    Ld, Lo = btridiag_cholesky(D, O)
+    def family_rhos(rho):
+        rho_eq = rho * cfg.rho_eq_scale
+        rho_gen = jnp.where(gen_is_eq, rho_eq, rho).astype(dtype)
+        rho_box = jnp.where(box_is_eq, rho_eq, rho).astype(dtype)
+        return rho_eq, rho_gen, rho_box
 
     def A_mul(x):
         d = jnp.einsum("kri,ki->kr", qp.J, x[:-1]) + jnp.einsum(
@@ -141,7 +150,6 @@ def solve_stage_qp(
             out = out + jnp.einsum("kri,kr->ki", qp.G, vg)
         return out + vb
 
-    # constraint set bounds
     l_dyn = -qp.c
     u_dyn = -qp.c
 
@@ -156,55 +164,83 @@ def solve_stage_qp(
     z_b = jnp.clip(z_b, qp.dlb, qp.dub)
 
     big = jnp.asarray(jnp.inf, dtype)
+    n_rounds = max(1, -(-cfg.max_iter // cfg.iters_per_round))
 
-    def admm_iter(state):
-        x, z_d, z_g, z_b, y_d, y_g, y_b, it, pr, dr = state
-        rhs = (
-            cfg.sigma * x
-            - qp.g
-            + At_mul(rho_eq * z_d - y_d, rho_gen * z_g - y_g, rho_box * z_b - y_b)
+    def round_body(state):
+        x, z_d, z_g, z_b, y_d, y_g, y_b, rho, rnd, it, pr, dr = state
+        rho_eq, rho_gen, rho_box = family_rhos(rho)
+        D, O = _assemble_M(qp, cfg, rho_eq, rho_gen, rho_box)
+        Ld, Lo = btridiag_cholesky(D, O)
+
+        def admm_iter(_, s):
+            x, z_d, z_g, z_b, y_d, y_g, y_b, it, pr, dr = s
+            rhs = (
+                cfg.sigma * x
+                - qp.g
+                + At_mul(
+                    rho_eq * z_d - y_d, rho_gen * z_g - y_g, rho_box * z_b - y_b
+                )
+            )
+            x_t = btridiag_solve(Ld, Lo, rhs)
+            a = cfg.alpha
+            Ax_d, Ax_g, Ax_b = A_mul(x_t)
+            x_new = a * x_t + (1 - a) * x
+
+            def family(Ax, z, y, rho_f, lo, hi):
+                v = a * Ax + (1 - a) * z
+                z_new = jnp.clip(v + y / rho_f, lo, hi)
+                y_new = y + rho_f * (v - z_new)
+                return z_new, y_new
+
+            z_d2, y_d2 = family(Ax_d, z_d, y_d, rho_eq, l_dyn, u_dyn)
+            if ng:
+                z_g2, y_g2 = family(Ax_g, z_g, y_g, rho_gen, qp.gl, qp.gu)
+            else:
+                z_g2, y_g2 = z_g, y_g
+            z_b2, y_b2 = family(Ax_b, z_b, y_b, rho_box, qp.dlb, qp.dub)
+
+            # residuals (OSQP §3.4)
+            pr_new = jnp.maximum(
+                jnp.max(jnp.abs(Ax_d - z_d2)),
+                jnp.maximum(
+                    jnp.max(jnp.abs(Ax_g - z_g2)) if ng else 0.0,
+                    jnp.max(jnp.abs(Ax_b - z_b2)),
+                ),
+            )
+            dz = At_mul(
+                rho_eq * (z_d2 - z_d),
+                rho_gen * (z_g2 - z_g),
+                rho_box * (z_b2 - z_b),
+            )
+            dr_new = jnp.max(jnp.abs(dz))
+            return (
+                x_new, z_d2, z_g2, z_b2, y_d2, y_g2, y_b2, it + 1, pr_new, dr_new
+            )
+
+        inner = (x, z_d, z_g, z_b, y_d, y_g, y_b, it, pr, dr)
+        inner = jax.lax.fori_loop(0, cfg.iters_per_round, admm_iter, inner)
+        x, z_d, z_g, z_b, y_d, y_g, y_b, it, pr, dr = inner
+
+        # ρ adaptation: balance primal vs dual residual (OSQP §5.2)
+        scale = jnp.sqrt(pr / jnp.maximum(dr, 1e-30))
+        rho_new = jnp.clip(
+            rho * jnp.clip(scale, 0.1, 10.0), cfg.rho_min, cfg.rho_max
         )
-        x_t = btridiag_solve(Ld, Lo, rhs)
-        a = cfg.alpha
-        Ax_d, Ax_g, Ax_b = A_mul(x_t)
-        x_new = a * x_t + (1 - a) * x
-
-        def family(Ax, z, y, rho, lo, hi):
-            v = a * Ax + (1 - a) * z
-            z_new = jnp.clip(v + y / rho, lo, hi)
-            y_new = y + rho * (v - z_new)
-            return z_new, y_new
-
-        z_d2, y_d2 = family(Ax_d, z_d, y_d, rho_eq, l_dyn, u_dyn)
-        if ng:
-            z_g2, y_g2 = family(Ax_g, z_g, y_g, rho_gen, qp.gl, qp.gu)
-        else:
-            z_g2, y_g2 = z_g, y_g
-        z_b2, y_b2 = family(Ax_b, z_b, y_b, rho_box, qp.dlb, qp.dub)
-
-        # residuals (OSQP §3.4): primal ‖Ax − z‖∞, dual ‖ρ Aᵀ(z − z_prev)‖∞
-        pr_new = jnp.maximum(
-            jnp.max(jnp.abs(Ax_d - z_d2)),
-            jnp.maximum(
-                jnp.max(jnp.abs(Ax_g - z_g2)) if ng else 0.0,
-                jnp.max(jnp.abs(Ax_b - z_b2)),
-            ),
-        )
-        dz = At_mul(
-            rho_eq * (z_d2 - z_d), rho_gen * (z_g2 - z_g), rho_box * (z_b2 - z_b)
-        )
-        dr_new = jnp.max(jnp.abs(dz))
-        return (x_new, z_d2, z_g2, z_b2, y_d2, y_g2, y_b2, it + 1, pr_new, dr_new)
+        converged = (pr < cfg.tol) & (dr < cfg.tol)
+        rho_new = jnp.where(converged, rho, rho_new)
+        return (x, z_d, z_g, z_b, y_d, y_g, y_b, rho_new, rnd + 1, it, pr, dr)
 
     def cond(state):
-        it = state[7]
-        pr, dr = state[8], state[9]
-        not_conv = (pr > cfg.tol) | (dr > cfg.tol)
-        return (it < cfg.max_iter) & not_conv
+        rnd, pr, dr = state[8], state[10], state[11]
+        return (rnd < n_rounds) & ((pr > cfg.tol) | (dr > cfg.tol))
 
-    init = (x, z_d, z_g, z_b, y_d, y_g, y_b, jnp.asarray(0, jnp.int32), big, big)
-    out = jax.lax.while_loop(cond, admm_iter, init)
-    x, z_d, z_g, z_b, y_d, y_g, y_b, it, pr, dr = out
+    init = (
+        x, z_d, z_g, z_b, y_d, y_g, y_b,
+        jnp.asarray(cfg.rho, dtype),
+        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), big, big,
+    )
+    out = jax.lax.while_loop(cond, round_body, init)
+    x, z_d, z_g, z_b, y_d, y_g, y_b, rho, rnd, it, pr, dr = out
     return QPSolution(
         delta=x, y_dyn=y_d, y_gen=y_g, y_box=y_b, iters=it, prim_res=pr, dual_res=dr
     )

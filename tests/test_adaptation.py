@@ -1,0 +1,149 @@
+"""Grid adaptation tests (ref: finite_differences_variable_grid.cpp:66-180,
+non_uniform_finite_differences_variable_grid.cpp:259)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from control_box_rst_tpu.control import PredictiveController
+from control_box_rst_tpu.models import DoubleIntegratorContinuous
+from control_box_rst_tpu.ocp import (
+    Bounds,
+    MinimumTime,
+    Trajectory,
+    finite_differences_variable_grid,
+    transcribe,
+)
+from control_box_rst_tpu.ocp.adaptation import (
+    RedundantControls,
+    SimpleShrinkingHorizon,
+    TimeBasedAggressiveEstimate,
+    TimeBasedSingleStep,
+    resample_W,
+    stage_mask_from_n,
+)
+from control_box_rst_tpu.sim import SimulatedPlant, run_closed_loop
+from control_box_rst_tpu.solvers import QPConfig, SQPConfig
+
+
+def _make_W(N=10, nx=2, nu=1, dt=0.1):
+    X = jnp.linspace(0.0, 1.0, N + 1)[:, None] * jnp.ones((N + 1, nx))
+    U = jnp.linspace(-1.0, 1.0, N)[:, None] * jnp.ones((N, nu))
+    dts = jnp.full((N,), dt)
+    traj = Trajectory(X=X, U=U, dts=dts)
+    W = jnp.concatenate(
+        [X, jnp.concatenate([U, jnp.zeros((1, nu))]),
+         jnp.concatenate([dts, jnp.zeros((1,))])[:, None]], axis=-1
+    )
+    return W
+
+
+def test_resample_identity():
+    N = 10
+    W = _make_W(N)
+    W2 = resample_W(W, 2, 1, jnp.asarray(N), jnp.asarray(N), N)
+    np.testing.assert_allclose(np.asarray(W2[:, :2]), np.asarray(W[:, :2]), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(W2[:-1, 3]), np.asarray(W[:-1, 3]), atol=1e-12)
+
+
+def test_resample_halve():
+    N = 10
+    W = _make_W(N, dt=0.1)
+    n_new = jnp.asarray(5)
+    W2 = resample_W(W, 2, 1, jnp.asarray(N), n_new, N)
+    dts = np.asarray(W2[:-1, 3])
+    # active intervals get T/n = 1.0/5 = 0.2, tail zero
+    np.testing.assert_allclose(dts[:5], 0.2, atol=1e-9)
+    np.testing.assert_allclose(dts[5:], 0.0, atol=1e-12)
+    # endpoint states preserved; tail holds the final state
+    np.testing.assert_allclose(np.asarray(W2[0, :2]), np.asarray(W[0, :2]))
+    np.testing.assert_allclose(np.asarray(W2[5, :2]), np.asarray(W[-1, :2]), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(W2[-1, :2]), np.asarray(W[-1, :2]), atol=1e-9)
+
+
+def test_time_based_single_step():
+    N = 10
+    W = _make_W(N, dt=0.2)  # dt above band
+    ad = TimeBasedSingleStep(dt_ref=0.1, dt_hyst_ratio=0.1, n_min=3, n_max=N)
+    W2, n2 = ad.adapt(W, jnp.asarray(8), 2, 1, N)
+    assert int(n2) == 9
+    W = _make_W(N, dt=0.05)  # below band
+    W3, n3 = ad.adapt(W, jnp.asarray(8), 2, 1, N)
+    assert int(n3) == 7
+    W = _make_W(N, dt=0.1)  # inside band
+    W4, n4 = ad.adapt(W, jnp.asarray(8), 2, 1, N)
+    assert int(n4) == 8
+
+
+def test_aggressive_estimate():
+    N = 20
+    W = _make_W(N, dt=0.2)
+    ad = TimeBasedAggressiveEstimate(dt_ref=0.1, n_min=3, n_max=N)
+    W2, n2 = ad.adapt(W, jnp.asarray(10), 2, 1, N)
+    assert int(n2) == 20  # 10 * 0.2/0.1
+
+
+def test_shrinking_horizon():
+    N = 10
+    W = _make_W(N)
+    ad = SimpleShrinkingHorizon(n_min=4)
+    n = jnp.asarray(6)
+    for expect in (5, 4, 4):
+        W, n = ad.adapt(W, n, 2, 1, N)
+        assert int(n) == expect
+
+
+def test_redundant_controls_merge_and_split():
+    N = 10
+    # constant controls → many redundant → merge
+    W = _make_W(N)
+    W = W.at[:-1, 2].set(0.5)  # all controls equal
+    ad = RedundantControls(epsilon=0.1, backup=1, n_min=3, n_max=N)
+    W2, n2 = ad.adapt(W, jnp.asarray(8), 2, 1, N)
+    assert int(n2) == 7
+    # total time preserved by merge
+    assert float(jnp.sum(W2[:7, 3])) == pytest.approx(0.8, abs=1e-9)
+
+    # wildly different controls → no redundant → split largest interval
+    W = _make_W(N)
+    W = W.at[:-1, 2].set(jnp.linspace(-1, 1, N) * 5)
+    W = W.at[3, 3].set(0.4)  # largest dt at k=3
+    W3, n3 = ad.adapt(W, jnp.asarray(8), 2, 1, N)
+    assert int(n3) == 9
+    dts = np.asarray(W3[:-1, 3])
+    assert dts[3] == pytest.approx(0.2) and dts[4] == pytest.approx(0.2)
+    # total active time preserved
+    assert float(np.sum(dts[:9])) == pytest.approx(0.7 + 0.4, abs=1e-9)
+
+
+def test_closed_loop_time_optimal_with_adaptation():
+    """Time-optimal MPC with TimeBasedSingleStep adaptation: as the goal
+    nears, dt shrinks and the horizon count adapts downward."""
+    N = 25
+    sys_ = DoubleIntegratorContinuous()
+    grid = finite_differences_variable_grid(N, fd_scheme="crank_nicolson")
+    bounds = Bounds.unbounded(2, 1).with_u(-1.0, 1.0).with_dt(1e-3, 0.5)
+    ocp = transcribe(
+        sys_, grid, MinimumTime(), bounds=bounds,
+        x0=jnp.zeros(2), xf=jnp.zeros(2), xf_fixed=jnp.array([1.0, 1.0]),
+    )
+    ctrl = PredictiveController(
+        nx=2, nu=1, ocp=ocp, dt=0.1,
+        cfg=SQPConfig(max_iter=20, qp=QPConfig(max_iter=500, tol=1e-10),
+                      tol_stat=1e-4, tol_feas=1e-6),
+        adaptation=TimeBasedSingleStep(dt_ref=0.1, dt_hyst_ratio=0.2,
+                                       n_min=5, n_max=N),
+        warm_start_shift=False,
+    )
+    plant = SimulatedPlant(system=sys_)
+    res = jax.jit(
+        lambda x: run_closed_loop(plant, ctrl, x, T_steps=30, dt=0.1)
+    )(jnp.array([1.0, 0.0]))
+    ns = np.asarray(res.info["n_active"])
+    # solves stay feasible throughout (not necessarily tight-converged
+    # every step while the grid is being restructured)
+    assert float(jnp.max(res.info["feas_res"])) < 1e-4
+    # horizon adapted down as remaining time shrinks
+    assert ns[-1] < ns[0] or ns[-1] == 5
+    # the plant reached the goal
+    assert float(jnp.linalg.norm(res.x_true[-1])) < 0.1
