@@ -65,6 +65,11 @@ class PredictiveController(Controller):
     warm_start_shift: bool = static_field(default=True)
     # grid adaptation strategy (ref: FiniteDifferencesVariableGrid::adaptGrid)
     adaptation: object = None
+    # a solve is usable (ok=True) when its constraint violation is below
+    # this, even if KKT tolerances weren't fully met — matching the
+    # reference, which only zeroes controls on real failure
+    # (task_closed_loop_control.cpp:200-206)
+    usable_feas_tol: float = static_field(default=1e-3)
 
     def __post_init__(self):
         if self.cfg is None:
@@ -146,7 +151,7 @@ class PredictiveController(Controller):
             u=u0,
             u_seq=res.traj.U,
             x_seq=res.traj.X,
-            ok=res.status == 1,
+            ok=res.feas_res < self.usable_feas_tol,
             info={
                 "objective": res.objective,
                 "sqp_iters": res.iterations,

@@ -52,8 +52,16 @@ def run_closed_loop(
     observer=None,
     key: Optional[jax.Array] = None,
     t0: float = 0.0,
+    apply_sequence_substeps: int = 0,
 ) -> ClosedLoopResult:
     """Simulate T_steps of {output → observe → control → integrate}.
+
+    apply_sequence_substeps = 0: apply u0 zero-order-hold over the sampling
+    interval. > 0: apply the controller's *planned sequence* (u_seq on its
+    own dts time base) across the sampling interval in that many substeps —
+    the reference's behavior of handing the whole sequence to the plant
+    (plant_interface.h:98, TimeValueBuffer interpolation); essential for
+    time-optimal MPC whose planned dt can be shorter than the sampling time.
 
     Pure and jittable; vmap over x0/key for batched rollouts.
     """
@@ -74,7 +82,32 @@ def run_closed_loop(
         ctrl_carry, out = controller.step(ctrl_carry, x_hat, t, dt)
         # failure → zero controls (ref task_closed_loop_control.cpp:200-206)
         u = jnp.where(out.ok, out.u, jnp.zeros_like(out.u))
-        x_next = plant.step(x, u, dt, k_plant)
+        if apply_sequence_substeps <= 0:
+            x_next = plant.step(x, u, dt, k_plant)
+        else:
+            S = apply_sequence_substeps
+            dts_plan = out.info.get("dts", None)
+            H = out.u_seq.shape[0]
+            if dts_plan is None:
+                dts_plan = jnp.full((H,), dt, x.dtype)
+            t_plan = jnp.concatenate(
+                [jnp.zeros((1,), x.dtype), jnp.cumsum(dts_plan)]
+            )
+            sub_dt = dt / S
+            keys = jax.random.split(k_plant, S)
+
+            def substep(xc, inp):
+                i, kk = inp
+                tau = (i.astype(x.dtype) + 0.5) * sub_dt
+                idx = jnp.clip(
+                    jnp.searchsorted(t_plan, tau, side="right") - 1, 0, H - 1
+                )
+                u_i = jnp.where(out.ok, out.u_seq[idx], jnp.zeros_like(out.u))
+                return plant.step(xc, u_i, sub_dt, kk), None
+
+            x_next, _ = jax.lax.scan(
+                substep, x, (jnp.arange(S), keys)
+            )
         outputs = (t, x_next, y, x_hat, u, out.ok, out.info)
         return (x_next, ctrl_carry, obs_carry, key), outputs
 
