@@ -14,6 +14,7 @@ from control_box_rst_tpu.ocp.costs import (
     MinTimeQuadratic,
     MinTimeQuadraticGainScheduled,
     QuadraticFinalStateCost,
+    L1SoftConstraintCost,
     CompositeCost,
     riccati_terminal_cost,
 )

@@ -195,6 +195,31 @@ def riccati_terminal_cost(system, xref, uref, Q, R, dt: Optional[float] = None):
 
 
 @pytree_dataclass
+class L1SoftConstraintCost(StageCost):
+    """Exact-penalty (L1) soft constraints as a cost term.
+
+    Ref parity: the L1 soft-constraint stabilization edges
+    (ref: structured_ocp/edges/l1_stab_edges.h:41,77) — constraint
+    violations enter the objective as weight·‖·‖₁ instead of hard rows.
+    Wrap any StageConstraint; inequalities contribute weight·max(0,g),
+    equalities weight·|h|."""
+
+    constraint: object = None  # a StageConstraint
+    weight: jax.Array = 1.0
+
+    def stage(self, x, u, dt, xref, uref):
+        c = self.constraint
+        total = jnp.zeros(())
+        if c.nineq:
+            g = c.ineq(x, u, dt, xref, uref)
+            total = total + self.weight * jnp.sum(jnp.maximum(0.0, g))
+        if c.neq:
+            h = c.eq(x, u, dt, xref, uref)
+            total = total + self.weight * jnp.sum(jnp.abs(h))
+        return total
+
+
+@pytree_dataclass
 class CompositeCost(StageCost):
     """Sum of a stage cost and a terminal cost object (or several)."""
 

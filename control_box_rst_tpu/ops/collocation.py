@@ -62,6 +62,8 @@ FD_COLLOCATIONS = {
     "midpoint": midpoint_diff_defect,
     "crank_nicolson": crank_nicolson_defect,
 }
+# hermite_simpson (3rd-order quadrature collocation; ref collocation_edges.h
+# Hermite-Simpson edges) is registered below after its definition.
 
 
 def get_fd_collocation(name: str):
@@ -119,3 +121,6 @@ def hermite_simpson_defect(f: DynamicsFn, x1, u1, x2, dt):
     xm = 0.5 * (x1 + x2) + (dt / 8.0) * (f1 - f2)
     fm = f(xm, u1)
     return (f1 + 4.0 * fm + f2) / 6.0 - (x2 - x1) / dt
+
+
+FD_COLLOCATIONS["hermite_simpson"] = hermite_simpson_defect

@@ -12,3 +12,4 @@ from control_box_rst_tpu.solvers.sqp import (
     SQPWarmStart,
     sqp_solve,
 )
+from control_box_rst_tpu.solvers.lm import LMConfig, LMResult, lm_solve
