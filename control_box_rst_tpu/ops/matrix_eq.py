@@ -152,6 +152,32 @@ def solve_sylvester_discrete(A, B, C):
 
 
 # --------------------------------------------------------------------------
+# Schur decomposition (host-side utility)
+# --------------------------------------------------------------------------
+
+def schur_ordered(A, select="lhp"):
+    """(Ordered) real Schur decomposition A = Q T Qᵀ.
+
+    Ref parity: corbo's Schur utilities with reordering predicate
+    (ref: src/numerics/include/corbo-numerics/schur.h:157). Non-symmetric
+    Schur has no accelerator-friendly jittable form, and none of this
+    framework's solvers need it (Riccati/Lyapunov use sign/doubling/Kronecker
+    methods, see module docstring); provided as a HOST-side numpy/scipy
+    utility for users porting reference code. select: 'lhp' (stable
+    continuous eigenvalues first), 'iuc' (inside unit circle first), or None.
+    """
+    import numpy as np
+    import scipy.linalg
+
+    A = np.asarray(A)
+    if select is None:
+        T, Q = scipy.linalg.schur(A, output="real")
+        return T, Q
+    T, Q, _ = scipy.linalg.schur(A, output="real", sort=select)
+    return T, Q
+
+
+# --------------------------------------------------------------------------
 # System analysis
 # --------------------------------------------------------------------------
 
