@@ -133,6 +133,12 @@ class TranscribedOCP:
         """Returns defect(x, u, x1, dt) for the grid's scheme."""
         g = self.grid
         f = self.system
+        if not f.continuous_time:
+            # discrete-time system: x⁺ = f(x, u); FD collocation of ẋ is
+            # undefined, both grid kinds use the one-step defect
+            # (ref: discrete systems bypass integration,
+            # system_dynamics_interface.h isContinuousTime)
+            return lambda x, u, x1, dt: f(x, u) - x1
         if g.kind == "fd":
             scheme = FD_COLLOCATIONS[g.fd_scheme]
             return lambda x, u, x1, dt: scheme(f, x, u, x1, dt)
