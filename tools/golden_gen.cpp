@@ -1,0 +1,188 @@
+// Golden closed-loop trajectory generator.
+//
+// Links against the *reference* C++ library (control_box_rst, built
+// separately out-of-tree) and runs closed-loop MPC experiments, dumping
+// TSV trajectories that our TPU framework's tests compare against
+// (BASELINE: control-sequence max error < 1e-3 vs the C++ reference).
+// This file is test tooling written for this project — it uses the
+// reference's public API as an oracle, it is not part of the framework.
+//
+// Build (after building the reference with MESSAGE/RPC/YAML/GUI off):
+//   g++ -O2 -std=c++14 tools/golden_gen.cpp \
+//     -I/root/reference/src/core/include \
+//     -I/root/reference/src/communication/include \
+//     -I/root/reference/src/systems/include \
+//     -I/root/reference/src/plants/include \
+//     -I/root/reference/src/controllers/include \
+//     -I/root/reference/src/observers/include \
+//     -I/root/reference/src/numerics/include \
+//     -I/root/reference/src/optimization/include \
+//     -I/root/reference/src/optimal_control/include \
+//     -I/root/reference/src/tasks/include \
+//     -I/root/reference/src/extern/eigen3 \
+//     /tmp/corbo_build/src/*/libcorbo_*.a ... -o /tmp/golden_gen
+//
+// Usage: golden_gen <case> <out.tsv>
+//   case 1: double integrator, quadratic cost, N=50 intervals, dt=0.1
+//   case 2: Van der Pol, quadratic cost, N=20 intervals, dt=0.1
+
+#include <cstdio>
+#include <memory>
+#include <string>
+
+#include <corbo-controllers/predictive_controller.h>
+#include <corbo-core/reference_trajectory.h>
+#include <corbo-core/time.h>
+#include <corbo-core/time_series.h>
+#include <corbo-numerics/finite_differences_collocation.h>
+#include <corbo-optimal-control/functions/final_state_cost.h>
+#include <corbo-optimal-control/functions/quadratic_cost.h>
+#include <corbo-optimal-control/structured_ocp/discretization_grids/finite_differences_grid.h>
+#include <corbo-optimal-control/structured_ocp/structured_optimal_control_problem.h>
+#include <corbo-optimization/hyper_graph/hyper_graph_optimization_problem_edge_based.h>
+#include <corbo-optimization/solver/levenberg_marquardt_sparse.h>
+#include <corbo-systems/benchmark/linear_benchmark_systems.h>
+#include <corbo-systems/benchmark/nonlinear_benchmark_systems.h>
+
+using namespace corbo;
+
+// RK4 with 4 substeps — matches the TPU framework's SimulatedPlant default.
+static Eigen::VectorXd rk4_plant(const SystemDynamicsInterface& sys,
+                                 const Eigen::VectorXd& x,
+                                 const Eigen::VectorXd& u, double dt,
+                                 int substeps = 4) {
+  Eigen::VectorXd xk = x;
+  const double h = dt / substeps;
+  Eigen::VectorXd k1(x.size()), k2(x.size()), k3(x.size()), k4(x.size());
+  for (int s = 0; s < substeps; ++s) {
+    sys.dynamics(xk, u, k1);
+    sys.dynamics(xk + 0.5 * h * k1, u, k2);
+    sys.dynamics(xk + 0.5 * h * k2, u, k3);
+    sys.dynamics(xk + h * k3, u, k4);
+    xk = xk + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4);
+  }
+  return xk;
+}
+
+int main(int argc, char** argv) {
+  if (argc < 3) {
+    std::fprintf(stderr, "usage: golden_gen <case 1|2> <out.tsv>\n");
+    return 1;
+  }
+  const int which = std::atoi(argv[1]);
+  const std::string out_path = argv[2];
+
+  SystemDynamicsInterface::Ptr dynamics;
+  int N_states;      // reference N = number of state samples (intervals + 1)
+  double dt = 0.1;
+  int T_steps;
+  Eigen::VectorXd x0;
+  Eigen::MatrixXd Q, R, Qf;
+
+  if (which == 1) {
+    dynamics = std::make_shared<SerialIntegratorSystem>(2);
+    N_states = 51;
+    T_steps = 50;
+    x0 = Eigen::Vector2d(1.0, 0.0);
+    Q = Eigen::Matrix2d::Identity();
+    R = Eigen::MatrixXd::Constant(1, 1, 0.1);
+    Qf = 10.0 * Eigen::Matrix2d::Identity();
+  } else {
+    dynamics = std::make_shared<VanDerPolOscillator>();
+    N_states = 21;
+    T_steps = 60;
+    x0 = Eigen::Vector2d(1.0, 0.5);
+    Q = Eigen::Matrix2d::Identity();
+    R = Eigen::MatrixXd::Constant(1, 1, 0.1);
+    Qf = 5.0 * Eigen::Matrix2d::Identity();
+  }
+
+  const int p = dynamics->getStateDimension();
+  const int q = dynamics->getInputDimension();
+
+  auto grid = std::make_shared<FiniteDifferencesGrid>();
+  grid->setNRef(N_states);
+  grid->setDtRef(dt);
+  grid->setFiniteDifferencesCollocationMethod(
+      std::make_shared<CrankNicolsonDiffCollocation>());
+  grid->setWarmStart(true);
+
+  auto hg = std::make_shared<HyperGraphOptimizationProblemEdgeBased>();
+  auto solver = std::make_shared<LevenbergMarquardtSparse>();
+  // The LM defaults keep the equality penalty at a small fixed weight
+  // (weight adaptation disabled), i.e. visibly soft dynamics. Configure
+  // heavy penalties so the LM optimum coincides with the hard-constrained
+  // optimum to well below the 1e-3 comparison tolerance. Overridable for
+  // calibration: golden_gen <case> <out> [iters weight ocp_iters]
+  int lm_iters = (argc > 3) ? std::atoi(argv[3]) : 200;
+  double weight = (argc > 4) ? std::atof(argv[4]) : 1e4;
+  int ocp_iters = (argc > 5) ? std::atoi(argv[5]) : 3;
+  solver->setIterations(lm_iters);
+  solver->setWeightAdapation(10.0, 10.0, 10.0, weight * 100, weight * 100,
+                             weight * 100);
+  solver->setPenaltyWeights(weight, weight, weight);
+
+  auto ocp = std::make_shared<StructuredOptimalControlProblem>(grid, dynamics,
+                                                               hg, solver);
+  ocp->setStageCost(std::make_shared<QuadraticFormCost>(Q, R, false, true));
+  ocp->setFinalStageCost(std::make_shared<QuadraticFinalStateCost>(Qf, true));
+
+  PredictiveController ctrl;
+  ctrl.setOptimalControlProblem(ocp);
+  ctrl.setNumOcpIterations(ocp_iters);
+
+  StaticReference xref(Eigen::VectorXd::Zero(p));
+  StaticReference uref(Eigen::VectorXd::Zero(q));
+
+  if (!ctrl.initialize(x0, xref, uref, Duration(dt), Time(0.0))) {
+    std::fprintf(stderr, "controller initialize failed\n");
+    return 2;
+  }
+
+  FILE* f = std::fopen(out_path.c_str(), "w");
+  if (!f) return 3;
+  // header: dims
+  std::fprintf(f, "# case %d p %d q %d dt %.17g steps %d\n", which, p, q, dt,
+               T_steps);
+
+  Eigen::VectorXd x = x0;
+  auto u_seq = std::make_shared<TimeSeries>();
+  auto x_seq = std::make_shared<TimeSeries>();
+  for (int k = 0; k < T_steps; ++k) {
+    const double t = k * dt;
+    if (!ctrl.step(x, xref, uref, Duration(dt), Time(t), u_seq, x_seq)) {
+      std::fprintf(stderr, "controller step %d failed\n", k);
+      return 4;
+    }
+    if (k == 0) {
+      // dump the first full plan for cross-checking optimality
+      FILE* fp = std::fopen((out_path + ".plan").c_str(), "w");
+      if (fp) {
+        for (int i = 0; i < x_seq->getTimeDimension(); ++i) {
+          Eigen::VectorXd xs = x_seq->getValuesMap(i);
+          std::fprintf(fp, "x");
+          for (int j = 0; j < xs.size(); ++j)
+            std::fprintf(fp, "\t%.17g", xs[j]);
+          std::fprintf(fp, "\n");
+        }
+        for (int i = 0; i < u_seq->getTimeDimension(); ++i) {
+          Eigen::VectorXd us = u_seq->getValuesMap(i);
+          std::fprintf(fp, "u");
+          for (int j = 0; j < us.size(); ++j)
+            std::fprintf(fp, "\t%.17g", us[j]);
+          std::fprintf(fp, "\n");
+        }
+        std::fclose(fp);
+      }
+    }
+    Eigen::VectorXd u = u_seq->getValuesMap(0);
+    std::fprintf(f, "%.17g", t);
+    for (int i = 0; i < p; ++i) std::fprintf(f, "\t%.17g", x[i]);
+    for (int i = 0; i < q; ++i) std::fprintf(f, "\t%.17g", u[i]);
+    std::fprintf(f, "\n");
+    x = rk4_plant(*dynamics, x, u, dt);
+  }
+  std::fclose(f);
+  std::fprintf(stderr, "wrote %s\n", out_path.c_str());
+  return 0;
+}
