@@ -26,7 +26,14 @@ def main(argv=None) -> int:
     p.add_argument("--out", "-o", default=None, help="output directory")
     p.add_argument("--format", choices=("tsv", "yaml", "both"), default="tsv")
     p.add_argument("--print-signals", action="store_true")
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu, tpu)")
     args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from control_box_rst_tpu.core.config import load_config, run_experiment
     from control_box_rst_tpu.core.export import export_tsv, export_yaml

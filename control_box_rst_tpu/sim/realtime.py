@@ -68,6 +68,8 @@ def run_realtime_closed_loop(
     if log_path is not None:
         writer = SignalWriter(log_path, dim=int(x0.shape[0]) + controller.nu)
 
+    from control_box_rst_tpu.core.console import ok
+
     rate = Rate(dt)
     n_steps = int(round(duration_s / dt))
     u_prev = jnp.zeros((controller.nu,))
@@ -75,6 +77,9 @@ def run_realtime_closed_loop(
     t_start = monotonic_time()
     rate.reset()
     for k in range(n_steps):
+        if not ok():  # cooperative cancellation (ref: corbo::ok())
+            n_steps = k
+            break
         t = k * dt
         y = jnp.asarray(read_output())
         obs_carry, x_hat = obs_step(obs_carry, y, u_prev)

@@ -84,6 +84,10 @@ def lm_solve(
     pin = ocp.fixed_mask().astype(dtype)
     free = 1.0 - pin
     lb, ub = ocp.w_bounds()
+    # finite-infinity clamp (see solvers/sqp.py): keep all arithmetic finite
+    BIG = jnp.asarray(1e8, dtype)
+    lb = jnp.maximum(lb, -BIG)
+    ub = jnp.minimum(ub, BIG)
 
     nr = n_lsq + ocp.nc + ng + nz  # rows per interval block
 

@@ -115,6 +115,12 @@ def sqp_solve(
     pin = ocp.fixed_mask().astype(dtype)
     free = 1.0 - pin
     lb, ub = ocp.w_bounds()
+    # clamp ±inf to a large finite value (OSQP's OSQP_INFTY trick): keeps
+    # every arithmetic path finite — some accelerator backends mis-handle
+    # inf in fused select/clip chains, and inf−inf/0·inf NaNs are ruled out
+    BIG = jnp.asarray(1e8, dtype)
+    lb = jnp.maximum(lb, -BIG)
+    ub = jnp.minimum(ub, BIG)
 
     if warm is None:
         y_dyn0 = jnp.zeros((N, nc), dtype)
@@ -154,7 +160,8 @@ def sqp_solve(
 
         qp = StageQP(
             Hd=Hm, g=gm, J=Jm, K=Km, c=c, G=Gm,
-            gl=rl - r, gu=ru - r, dlb=dlb, dub=dub,
+            gl=jnp.maximum(rl - r, -BIG), gu=jnp.minimum(ru - r, BIG),
+            dlb=dlb, dub=dub,
         )
         sol = solve_stage_qp(
             qp, cfg.qp,
