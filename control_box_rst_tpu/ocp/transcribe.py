@@ -177,9 +177,29 @@ class TranscribedOCP:
         return jnp.concatenate(rows)
 
     def interval_residuals(self, W: jax.Array) -> jax.Array:
-        """[N, nc] all interval equality rows."""
+        """[N, nc] all interval equality rows.
+
+        NOTE: the stage slices are materialized BEFORE the vmap and the
+        per-stage function receives them as separate arguments. Slicing the
+        adjacent w/w1 rows *inside* a vmapped function exposed a backend
+        miscompilation on the axon TPU platform (the defect was evaluated
+        with the next stage's control — tools/axon_repro.py); this
+        formulation avoids the pattern and is equivalent on all platforms."""
+        nx, nu = self.nx, self.nu
         ks = jnp.arange(self.N)
-        return jax.vmap(self.interval_residual)(ks, W[:-1], W[1:])
+        Xk = W[:-1, :nx]
+        Uk = W[:-1, nx : nx + nu]
+        DTk = W[:-1, nx + nu]
+        Xk1 = W[1:, :nx]
+        Uk1 = W[1:, nx : nx + nu]
+        DTk1 = W[1:, nx + nu]
+
+        def one(k, x, u, dt, x1, u1, dt1):
+            w = jnp.concatenate([x, u, dt[None]])
+            w1 = jnp.concatenate([x1, u1, dt1[None]])
+            return self.interval_residual(k, w, w1)
+
+        return jax.vmap(one)(ks, Xk, Uk, DTk, Xk1, Uk1, DTk1)
 
     def defects(self, traj: Trajectory) -> jax.Array:
         """[N, nx] dynamics defects only (diagnostics / tests)."""
@@ -187,11 +207,22 @@ class TranscribedOCP:
         return self.interval_residuals(W)[:, : self.nx]
 
     def interval_jacobians(self, W: jax.Array):
-        """J [N, nc, nz], K [N, nc, nz], c [N, nc] — exact via jacfwd."""
+        """J [N, nc, nz], K [N, nc, nz], c [N, nc] — exact via jacfwd.
+
+        The primal c is harvested from the same `jax.linearize` computation
+        that produces the Jacobians (one evaluation, consistent values —
+        see interval_residuals note on the axon slicing pattern)."""
+        nz = self.nz
+
         def jac_one(k, w, w1):
-            c = self.interval_residual(k, w, w1)
-            J, K = jax.jacfwd(self.interval_residual, argnums=(1, 2))(k, w, w1)
-            return J, K, c
+            c, lin = jax.linearize(
+                lambda a, b: self.interval_residual(k, a, b), w, w1
+            )
+            eye = jnp.eye(nz, dtype=w.dtype)
+            zeros = jnp.zeros((nz, nz), dtype=w.dtype)
+            J = jax.vmap(lambda e: lin(e, jnp.zeros_like(w1)))(eye)
+            K = jax.vmap(lambda e: lin(jnp.zeros_like(w), e))(eye)
+            return J.T, K.T, c
 
         ks = jnp.arange(self.N)
         return jax.vmap(jac_one)(ks, W[:-1], W[1:])
