@@ -10,6 +10,8 @@ signals to YAML/TSV like the reference's data exporters.
 Usage:
     python -m control_box_rst_tpu.master --config experiment.yaml \
         [--out results_dir] [--format tsv|yaml]
+    python -m control_box_rst_tpu.master --serve localhost:50051 \
+        [--config experiment.yaml]        # gRPC server mode (ref: app.cpp -s)
 """
 from __future__ import annotations
 
@@ -22,7 +24,13 @@ import time
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="control_box_rst_tpu experiment master")
-    p.add_argument("--config", "-m", required=True, help="YAML experiment config")
+    p.add_argument("--config", "-m", default=None, help="YAML experiment config")
+    p.add_argument(
+        "--serve", "-s", nargs="?", const="localhost:50051", default=None,
+        metavar="ADDR",
+        help="run as a gRPC master service on ADDR (ref: corbo-master -s); "
+        "--config preloads the experiment",
+    )
     p.add_argument("--out", "-o", default=None, help="output directory")
     p.add_argument("--format", choices=("tsv", "yaml", "both"), default="tsv")
     p.add_argument("--print-signals", action="store_true")
@@ -38,6 +46,27 @@ def main(argv=None) -> int:
     from control_box_rst_tpu.core.config import load_config, run_experiment
     from control_box_rst_tpu.core.export import export_tsv, export_yaml
 
+    if args.serve is not None:
+        from concurrent import futures
+
+        import grpc
+
+        from control_box_rst_tpu.comm.server import MasterServer
+
+        master = MasterServer()
+        if args.config:
+            with open(args.config) as f:
+                master.set_section("config", f.read())
+        server = grpc.server(futures.ThreadPoolExecutor(max_workers=4))
+        server.add_generic_rpc_handlers((master.grpc_handler(),))
+        server.add_insecure_port(args.serve)
+        server.start()
+        print(f"corbo_tpu master listening on {args.serve}")
+        server.wait_for_termination()
+        return 0
+
+    if not args.config:
+        p.error("--config is required unless --serve is given")
     config = load_config(args.config)
     t0 = time.perf_counter()
     rec = run_experiment(config)

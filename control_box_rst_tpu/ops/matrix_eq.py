@@ -27,12 +27,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from control_box_rst_tpu.utils.precision import f32_matmuls
 
 
 # --------------------------------------------------------------------------
 # Continuous algebraic Riccati equation: A'X + XA - X B R^-1 B' X + Q = 0
 # --------------------------------------------------------------------------
 
+@f32_matmuls
 def solve_care(A, B, Q, R, iters: int = 40):
     """Stabilizing CARE solution via the matrix sign function of the
     Hamiltonian M = [[A, -G], [-Q, -A']], G = B R⁻¹ Bᵀ.
@@ -76,6 +78,7 @@ def lqr_gain_continuous(A, B, Q, R):
 # Discrete algebraic Riccati equation: A'XA - X - A'XB(R+B'XB)^-1 B'XA + Q = 0
 # --------------------------------------------------------------------------
 
+@f32_matmuls
 def solve_dare(A, B, Q, R, iters: int = 30):
     """Stabilizing DARE solution via the structure-preserving doubling
     algorithm (SDA). (ref: AlgebraicRiccatiDiscrete, algebraic_riccati_
@@ -108,6 +111,7 @@ def lqr_gain_discrete(A, B, Q, R):
 # Lyapunov / Sylvester (Kronecker dense solves)
 # --------------------------------------------------------------------------
 
+@f32_matmuls
 def solve_lyapunov_continuous(A, Q):
     """X with A'X + XA + Q = 0. (ref: LyapunovContinuous,
     lyapunov_continuous.h:56-95)"""
@@ -120,6 +124,7 @@ def solve_lyapunov_continuous(A, Q):
     return 0.5 * (X + X.T)
 
 
+@f32_matmuls
 def solve_lyapunov_discrete(A, Q):
     """X with A'XA - X + Q = 0. (ref: lyapunov_discrete.h)"""
     A = jnp.asarray(A)
@@ -130,6 +135,7 @@ def solve_lyapunov_discrete(A, Q):
     return 0.5 * (X + X.T)
 
 
+@f32_matmuls
 def solve_sylvester_continuous(A, B, C):
     """X with AX + XB + C = 0. (ref: SylvesterContinuous,
     sylvester_continuous.h:56-83)"""
@@ -141,6 +147,7 @@ def solve_sylvester_continuous(A, B, C):
     return x.reshape(n, m, order="F")
 
 
+@f32_matmuls
 def solve_sylvester_discrete(A, B, C):
     """X with AXB - X + C = 0. (ref: sylvester_discrete.h)"""
     A = jnp.asarray(A)
@@ -155,6 +162,7 @@ def solve_sylvester_discrete(A, B, C):
 # Schur decomposition (host-side utility)
 # --------------------------------------------------------------------------
 
+@f32_matmuls
 def schur_ordered(A, select="lhp"):
     """(Ordered) real Schur decomposition A = Q T Qᵀ.
 

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from control_box_rst_tpu.sim.observer import NoObserver
 from control_box_rst_tpu.sim.plant import SimulatedPlant
 from control_box_rst_tpu.utils.tree import pytree_dataclass, static_field
+from control_box_rst_tpu.utils.precision import f32_matmuls
 
 
 class ClosedLoopResult(NamedTuple):
@@ -43,6 +44,7 @@ class ClosedLoopResult(NamedTuple):
     info: dict           # stacked controller diagnostics
 
 
+@f32_matmuls
 def run_closed_loop(
     plant: SimulatedPlant,
     controller,
@@ -120,6 +122,7 @@ def run_closed_loop(
     )
 
 
+@f32_matmuls
 def run_open_loop(
     plant: SimulatedPlant,
     controller,

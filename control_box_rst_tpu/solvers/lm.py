@@ -30,6 +30,7 @@ from control_box_rst_tpu.ocp.problem import Trajectory
 from control_box_rst_tpu.ocp.transcribe import TranscribedOCP
 from control_box_rst_tpu.ops.btridiag import btridiag_cholesky, btridiag_solve
 from control_box_rst_tpu.utils.tree import pytree_dataclass, static_field
+from control_box_rst_tpu.utils.precision import f32_matmuls
 
 
 @pytree_dataclass
@@ -67,6 +68,7 @@ def _residual_dims(ocp: TranscribedOCP):
     return int(r.shape[0])
 
 
+@f32_matmuls
 def lm_solve(
     ocp: TranscribedOCP,
     traj0: Trajectory,

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from control_box_rst_tpu.core.types import SolverStatus
+from control_box_rst_tpu.utils.precision import f32_matmuls
 from control_box_rst_tpu.ocp.problem import Trajectory
 from control_box_rst_tpu.ocp.transcribe import TranscribedOCP
 from control_box_rst_tpu.solvers.stage_qp import (
@@ -97,6 +98,7 @@ def _merit(ocp: TranscribedOCP, W, lb, ub, nu):
     return f + nu * infeas, infeas
 
 
+@f32_matmuls
 def sqp_solve(
     ocp: TranscribedOCP,
     traj0: Trajectory,
