@@ -39,4 +39,9 @@ from control_box_rst_tpu.ocp.grids import (
     non_uniform_multiple_shooting_variable_grid,
     move_blocking_grid,
 )
+from control_box_rst_tpu.ocp.preprocessor import (
+    StagePreprocessor,
+    PreprocessedStageCost,
+    PreprocessedStageConstraint,
+)
 from control_box_rst_tpu.ocp.transcribe import TranscribedOCP, transcribe

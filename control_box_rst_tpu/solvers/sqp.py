@@ -46,8 +46,12 @@ from control_box_rst_tpu.utils.tree import pytree_dataclass, static_field
 class SQPConfig:
     max_iter: int = static_field(default=30)
     qp: QPConfig = static_field(default=None)
-    tol_stat: float = static_field(default=1e-6)
-    tol_feas: float = static_field(default=1e-7)
+    # None → dtype-calibrated at solve time: f64 → (1e-6, 1e-7);
+    # f32 (the TPU production path) → (5e-4, 2e-5). The reference's
+    # tolerances assume CPU doubles; blindly reusing them under f32 makes
+    # correct solutions report "not converged" (and zero-control gating).
+    tol_stat: float = static_field(default=None)
+    tol_feas: float = static_field(default=None)
     ls_candidates: int = static_field(default=8)
     ls_c1: float = static_field(default=1e-4)
     merit_nu_init: float = static_field(default=10.0)
@@ -113,6 +117,11 @@ def sqp_solve(
     traj0 = ocp.apply_boundary(traj0)
     W0 = ocp.pack(traj0)
     dtype = W0.dtype
+
+    tol_stat = cfg.tol_stat if cfg.tol_stat is not None else (
+        1e-6 if dtype == jnp.float64 else 5e-4)
+    tol_feas = cfg.tol_feas if cfg.tol_feas is not None else (
+        1e-7 if dtype == jnp.float64 else 2e-5)
 
     pin = ocp.fixed_mask().astype(dtype)
     free = 1.0 - pin
@@ -204,8 +213,8 @@ def sqp_solve(
         feas = jnp.maximum(jnp.max(jnp.abs(c)), jnp.max(viol) if ng else 0.0)
         step_norm = jnp.max(jnp.abs(alpha * delta))
 
-        converged = ((stat < cfg.tol_stat) & (feas < cfg.tol_feas)) | (
-            (step_norm < 1e-12) & (feas < cfg.tol_feas)
+        converged = ((stat < tol_stat) & (feas < tol_feas)) | (
+            (step_norm < 1e-12) & (feas < tol_feas)
         )
         # freeze converged lanes: under vmap the while_loop runs lockstep
         # until ALL lanes finish, and extra iterations must not move a lane

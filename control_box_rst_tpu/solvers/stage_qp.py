@@ -53,8 +53,12 @@ class QPConfig:
     rho: float = static_field(default=0.1)
     rho_eq_scale: float = static_field(default=1e3)
     alpha: float = static_field(default=1.6)
-    max_iter: int = static_field(default=200)  # total ADMM iteration budget
-    tol: float = static_field(default=1e-8)
+    # None → shape-calibrated at solve time: 200 for box-only QPs, 600 when
+    # general (nonlinear-constraint) rows are present — ADMM needs a larger
+    # budget there, and an under-solved QP stalls the outer SQP loop.
+    max_iter: int = static_field(default=None)  # total ADMM iteration budget
+    # None → dtype-calibrated at solve time (f64 → 1e-8, f32 → 1e-5)
+    tol: float = static_field(default=None)
     check_every: int = static_field(default=10)
     # ρ adaptation (OSQP §5.2): every `iters_per_round` iterations, rescale ρ
     # by sqrt(pr/dr) (clipped) and refactorize. Rounds = max_iter / round.
@@ -120,6 +124,10 @@ def solve_stage_qp(
     √(pr/dr) (OSQP §5.2 rule) and refactorize — until tolerances or the
     iteration budget. Unscaled duals y are carried, so ρ changes need no
     dual rescaling."""
+    tol = cfg.tol if cfg.tol is not None else (
+        1e-8 if qp.Hd.dtype == jnp.float64 else 1e-5)
+    max_iter = cfg.max_iter if cfg.max_iter is not None else (
+        200 if qp.G.shape[1] == 0 else 600)
     Np1, nz = qp.g.shape
     N = Np1 - 1
     nc = qp.c.shape[1]
@@ -164,7 +172,7 @@ def solve_stage_qp(
     z_b = jnp.clip(z_b, qp.dlb, qp.dub)
 
     big = jnp.asarray(jnp.inf, dtype)
-    n_rounds = max(1, -(-cfg.max_iter // cfg.iters_per_round))
+    n_rounds = max(1, -(-max_iter // cfg.iters_per_round))
 
     def round_body(state):
         x, z_d, z_g, z_b, y_d, y_g, y_b, rho, rnd, it, pr, dr = state
@@ -226,13 +234,13 @@ def solve_stage_qp(
         rho_new = jnp.clip(
             rho * jnp.clip(scale, 0.1, 10.0), cfg.rho_min, cfg.rho_max
         )
-        converged = (pr < cfg.tol) & (dr < cfg.tol)
+        converged = (pr < tol) & (dr < tol)
         rho_new = jnp.where(converged, rho, rho_new)
         return (x, z_d, z_g, z_b, y_d, y_g, y_b, rho_new, rnd + 1, it, pr, dr)
 
     def cond(state):
         rnd, pr, dr = state[8], state[10], state[11]
-        return (rnd < n_rounds) & ((pr > cfg.tol) | (dr > cfg.tol))
+        return (rnd < n_rounds) & ((pr > tol) | (dr > tol))
 
     init = (
         x, z_d, z_g, z_b, y_d, y_g, y_b,
