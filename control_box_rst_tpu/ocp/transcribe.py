@@ -45,7 +45,7 @@ from control_box_rst_tpu.ocp.problem import (
     References,
     Trajectory,
 )
-from control_box_rst_tpu.ops.collocation import FD_COLLOCATIONS
+from control_box_rst_tpu.ops.collocation import get_fd_collocation
 from control_box_rst_tpu.ops.integrators import make_integrator
 from control_box_rst_tpu.utils.tree import pytree_dataclass, static_field
 
@@ -140,7 +140,7 @@ class TranscribedOCP:
             # system_dynamics_interface.h isContinuousTime)
             return lambda x, u, x1, dt: f(x, u) - x1
         if g.kind == "fd":
-            scheme = FD_COLLOCATIONS[g.fd_scheme]
+            scheme = get_fd_collocation(g.fd_scheme)
             return lambda x, u, x1, dt: scheme(f, x, u, x1, dt)
         elif g.kind == "ms":
             integ = make_integrator(g.integrator, g.integrator_substeps)
@@ -244,6 +244,24 @@ class TranscribedOCP:
                     c.stage(x, u, dt, xref, uref)
                     + c.stage(x1, u, dt, xref1, uref)
                 )
+            elif self.grid.cost_integration == "hermite_simpson":
+                # Simpson rule with the Hermite-interpolated midpoint
+                # (ref: QuadratureHermiteSimpson, quadrature.h:1087, and the
+                # Hermite-Simpson cost edges, collocation_edges.h)
+                x1 = w1[:nx]
+                xref1 = self.refs.xref[k + 1]
+                if self.system.continuous_time:
+                    xm = 0.5 * (x + x1) + (dt / 8.0) * (
+                        self.system(x, u) - self.system(x1, u)
+                    )
+                else:
+                    xm = 0.5 * (x + x1)
+                xrefm = 0.5 * (xref + xref1)
+                val = (dt / 6.0) * (
+                    c.stage(x, u, dt, xref, uref)
+                    + 4.0 * c.stage(xm, u, dt, xrefm, uref)
+                    + c.stage(x1, u, dt, xref1, uref)
+                )
             else:  # left_sum
                 val = dt * c.stage(x, u, dt, xref, uref)
         else:
@@ -277,9 +295,12 @@ class TranscribedOCP:
             # interval k as left stage (k<N)
             left = jnp.where(k < N, 1.0, 0.0)
             t1 = left * self._stage_term(jnp.minimum(k, N - 1), v, w_next)
-            # interval k-1 as right stage (k>0): only trapezoidal touches x_k
+            # interval k-1 as right stage (k>0): trapezoidal/Hermite-Simpson
+            # integration touches x_k from the left interval
             t2 = jnp.zeros(())
-            if self.cost.integral and self.grid.cost_integration == "trapezoidal":
+            if self.cost.integral and self.grid.cost_integration in (
+                "trapezoidal", "hermite_simpson",
+            ):
                 right = jnp.where(k > 0, 1.0, 0.0)
                 t2 = right * self._stage_term(
                     jnp.maximum(k - 1, 0), w_prev, v
