@@ -98,6 +98,20 @@ def build_cost(cfg: Dict[str, Any], nx: int, nu: int):
         parts.append(
             C.QuadraticFormCost(Q=Q, R=R, integral=bool(cfg.get("integral", False)))
         )
+    elif typ == "quadratic_state":
+        parts.append(
+            C.QuadraticStateCost(
+                Q=_arr(cfg.get("Q", np.eye(nx))),
+                integral=bool(cfg.get("integral", False)),
+            )
+        )
+    elif typ == "quadratic_control":
+        parts.append(
+            C.QuadraticControlCost(
+                R=_arr(cfg.get("R", np.eye(nu))),
+                integral=bool(cfg.get("integral", False)),
+            )
+        )
     elif typ == "minimum_time":
         parts.append(C.MinimumTime(weight=float(cfg.get("weight", 1.0))))
     elif typ == "minimum_time_regularized":
@@ -114,13 +128,67 @@ def build_cost(cfg: Dict[str, Any], nx: int, nu: int):
                 Q=_arr(cfg.get("Q")), R=_arr(cfg.get("R")),
             )
         )
+    elif typ == "min_time_quadratic_gain_scheduled":
+        parts.append(
+            C.MinTimeQuadraticGainScheduled(
+                time_weight=float(cfg.get("time_weight", 1.0)),
+                Q=_arr(cfg.get("Q")), R=_arr(cfg.get("R")),
+                radius=float(cfg.get("radius", 1.0)),
+                sharpness=float(cfg.get("sharpness", 10.0)),
+            )
+        )
     else:
         raise KeyError(f"unknown cost type {typ!r}")
     if cfg.get("Qf") is not None:
         parts.append(C.QuadraticFinalStateCost(Qf=_arr(cfg["Qf"])))
+    # L1 soft state bounds as an additional exact-penalty term
+    # (ref: l1_stab_edges.h; YAML: cost.soft_x_min/max + soft_weight)
+    if cfg.get("soft_x_min") is not None or cfg.get("soft_x_max") is not None:
+        from control_box_rst_tpu.ocp import FunctionalStageConstraint
+        import jax.numpy as _jnp
+
+        lo = _arr(cfg.get("soft_x_min", np.full(nx, -np.inf)))
+        hi = _arr(cfg.get("soft_x_max", np.full(nx, np.inf)))
+        con = FunctionalStageConstraint(
+            nineq=2 * nx,
+            ineq_fn=lambda x, u: _jnp.concatenate([lo - x, x - hi]),
+        )
+        parts.append(
+            C.L1SoftConstraintCost(
+                constraint=con, weight=float(cfg.get("soft_weight", 10.0))
+            )
+        )
     if len(parts) == 1:
         return parts[0]
     return C.CompositeCost(costs=tuple(parts))
+
+
+def build_terminal_constraint(config: Dict[str, Any], nx: int):
+    """constraints: section → TerminalConstraint (None if absent).
+
+    YAML forms (ref: final_state_constraints.h):
+      constraints: {terminal_ball: {S: [[..]], gamma: 0.1}}
+      constraints: {terminal_equality: true}            # x_N == xf
+      constraints: {terminal_partial_equality: [0]}     # component indices
+    """
+    cc = config.get("constraints")
+    if not cc:
+        return None
+    from control_box_rst_tpu.ocp import (
+        TerminalBall,
+        terminal_equality,
+        terminal_partial_equality,
+    )
+
+    if "terminal_ball" in cc:
+        tb = cc["terminal_ball"]
+        S = _arr(tb.get("S", np.eye(nx)))
+        return TerminalBall(S=S, gamma=float(tb.get("gamma", 1.0)))
+    if cc.get("terminal_equality"):
+        return terminal_equality(nx)
+    if "terminal_partial_equality" in cc:
+        return terminal_partial_equality(cc["terminal_partial_equality"])
+    raise KeyError(f"unknown constraints spec: {sorted(cc)}")
 
 
 def build_ocp(config: Dict[str, Any]):
@@ -148,8 +216,100 @@ def build_ocp(config: Dict[str, Any]):
         x0=_arr(config.get("x0", np.zeros(system.nx))),
         xf=_arr(config.get("xf")),
         xf_fixed=_arr(xf_fixed) if xf_fixed is not None else None,
+        term_con=build_terminal_constraint(config, system.nx),
     )
     return ocp, system
+
+
+def build_plant(config: Dict[str, Any], default_system):
+    """plant: section → SimulatedPlant.
+
+    YAML (ref: simulated_plant.h:56, disturbances.h:35):
+      plant:
+        system: {type: ...}          # defaults to the controller's model
+        integrator: {type: rk4, substeps: 4}
+        output: full | first         # or a C matrix (list of lists)
+        noise: {state_std: 0.0, output_std: 0.0, input_std: 0.0}
+        x0: [..]                     # plant-side initial state override
+    """
+    from control_box_rst_tpu.ops.integrators import make_integrator
+    from control_box_rst_tpu.sim import GaussianNoise, SimulatedPlant
+
+    pc = config.get("plant", {})
+    system = build_system(pc["system"]) if "system" in pc else default_system
+    integ_cfg = pc.get("integrator", {})
+    integrator = make_integrator(
+        integ_cfg.get("type", "rk4"), int(integ_cfg.get("substeps", 4))
+    )
+    out = pc.get("output", "full")
+    if isinstance(out, str):
+        output_kind, C = out, None
+    else:
+        output_kind, C = "linear", _arr(out)
+    noise = pc.get("noise", {})
+
+    def _noise(key):
+        std = float(noise.get(key, 0.0))
+        return GaussianNoise(std=std) if std > 0.0 else None
+
+    return SimulatedPlant(
+        system=system,
+        integrator=integrator,
+        output_kind=output_kind,
+        C=C,
+        state_noise=_noise("state_std"),
+        output_noise=_noise("output_std"),
+        input_noise=_noise("input_std"),
+    )
+
+
+def build_observer(config: Dict[str, Any], plant) -> Any:
+    """observer: section → observer object.
+
+    YAML (ref: observer_interface.h:58; NoObserver :141):
+      observer: {type: none}
+      observer: {type: kalman, W: [[..]], V: [[..]]}   # steady-state KF on
+        the plant linearization at the origin, ZOH-discretized at dt
+    """
+    import jax.numpy as jnp
+
+    from control_box_rst_tpu.sim.observer import (
+        NoObserver,
+        SteadyStateKalmanObserver,
+    )
+
+    oc = config.get("observer", {"type": "none"})
+    typ = oc.get("type", "none")
+    if typ in ("none", "no_observer"):
+        return NoObserver()
+    if typ == "kalman":
+        system = plant.system
+        dt = float(config.get("experiment", {}).get("dt", 0.1))
+        x0 = jnp.zeros((system.nx,))
+        u0 = jnp.zeros((system.nu,))
+        A = system.linear_A(x0, u0)
+        B = system.linear_B(x0, u0)
+        if system.continuous_time:
+            # exact ZOH discretization via the augmented-matrix exponential
+            from jax.scipy.linalg import expm
+
+            nx, nu = system.nx, system.nu
+            M = jnp.zeros((nx + nu, nx + nu)).at[:nx, :nx].set(A)
+            M = M.at[:nx, nx:].set(B)
+            E = expm(M * dt)
+            Ad, Bd = E[:nx, :nx], E[:nx, nx:]
+        else:
+            Ad, Bd = A, B
+        if plant.output_kind == "full":
+            C = jnp.eye(system.nx)
+        elif plant.output_kind == "first":
+            C = jnp.eye(system.nx)[:1]
+        else:
+            C = plant.C
+        return SteadyStateKalmanObserver.from_linear(
+            Ad, Bd, C, W=_arr(oc.get("W")), V=_arr(oc.get("V"))
+        )
+    raise KeyError(f"unknown observer type {typ!r}")
 
 
 def build_controller(config: Dict[str, Any]):
@@ -214,6 +374,64 @@ def build_controller(config: Dict[str, Any]):
             ),
             system,
         )
+    if typ == "simple_state":
+        from control_box_rst_tpu.control import SimpleStateController
+
+        return (
+            SimpleStateController(
+                nx=system.nx, nu=system.nu,
+                K=_arr(ctrl_cfg["K"]),
+                V=_arr(ctrl_cfg.get("V")),
+                xref=_arr(config.get("xf")),
+                uref=_arr(ctrl_cfg.get("uref")),
+            ),
+            system,
+        )
+    if typ == "step_response":
+        from control_box_rst_tpu.control import StepResponseGenerator
+
+        return (
+            StepResponseGenerator(
+                nx=system.nx, nu=system.nu,
+                u_step=_arr(ctrl_cfg.get("u_step", np.ones(system.nu))),
+                u_init=_arr(ctrl_cfg.get("u_init")),
+                t_step=float(ctrl_cfg.get("t_step", 0.0)),
+            ),
+            system,
+        )
+    if typ == "dual_mode":
+        # MPC far from the goal, LQR inside the terminal ball
+        # (ref: dual_mode_controller.h:47). YAML:
+        #   controller: {type: dual_mode, local: {Q: .., R: ..},
+        #                S: [[..]], gamma: 0.1, latch: true}
+        from control_box_rst_tpu.control import DualModeController
+
+        inner = dict(config)
+        inner["controller"] = {
+            k: v for k, v in ctrl_cfg.items()
+            if k not in ("type", "local", "S", "gamma", "latch")
+        }
+        inner["controller"]["type"] = "predictive"
+        mpc, _ = build_controller(inner)
+        local_cfg = ctrl_cfg.get("local", {})
+        xf = _arr(config.get("xf", np.zeros(system.nx)))
+        local = LqrController.from_system(
+            system,
+            _arr(local_cfg.get("Q", np.eye(system.nx))),
+            _arr(local_cfg.get("R", np.eye(system.nu))),
+            xref=xf,
+        )
+        return (
+            DualModeController(
+                nx=system.nx, nu=system.nu,
+                global_controller=mpc, local_controller=local,
+                S=_arr(ctrl_cfg.get("S", np.eye(system.nx))),
+                gamma=float(ctrl_cfg.get("gamma", 0.1)),
+                xf=xf,
+                latch=bool(ctrl_cfg.get("latch", False)),
+            ),
+            system,
+        )
     raise KeyError(f"unknown controller type {typ!r}")
 
 
@@ -232,12 +450,9 @@ def run_experiment(config: Dict[str, Any]) -> SignalRecorder:
     task = exp.get("task", "closed_loop")
     dt = float(exp.get("dt", 0.1))
     controller, system = build_controller(config)
-    plant_cfg = config.get("plant", {})
-    plant_system = (
-        build_system(plant_cfg["system"]) if "system" in plant_cfg else system
-    )
-    plant = SimulatedPlant(system=plant_system)
-    x0 = _arr(config.get("x0", np.zeros(system.nx)))
+    plant = build_plant(config, system)
+    observer = build_observer(config, plant)
+    x0 = _arr(config.get("plant", {}).get("x0", config.get("x0", np.zeros(system.nx))))
 
     rec = SignalRecorder()
     if task == "closed_loop":
@@ -245,6 +460,7 @@ def run_experiment(config: Dict[str, Any]) -> SignalRecorder:
         res = jax.jit(
             lambda x: run_closed_loop(
                 plant, controller, x, T_steps=T_steps, dt=dt,
+                observer=observer,
                 apply_sequence_substeps=int(exp.get("apply_sequence_substeps", 0)),
             )
         )(x0)
@@ -269,6 +485,36 @@ def run_experiment(config: Dict[str, Any]) -> SignalRecorder:
         rec.add_matrix("benchmark/x0_grid", np.asarray(x0s))
         rec.add_matrix("benchmark/final_states", np.asarray(res.x_true[:, -1]))
         rec.add_matrix("benchmark/controls", np.asarray(res.u))
+    elif task == "benchmark_increasing_n":
+        # horizon sweep, one open-loop solve per N
+        # (ref: benchmark_task_increasing_n_open_loop.h:48)
+        from control_box_rst_tpu.sim.benchmarks import benchmark_increasing_n_open_loop
+
+        bm = exp.get("benchmark", {})
+        N_values = [int(n) for n in bm.get("N_values", [10, 20, 40])]
+
+        def make_ocp(N):
+            cfg_n = dict(config)
+            cfg_n["grid"] = dict(config.get("grid", {}), N=N)
+            ocp_n, _ = build_ocp(cfg_n)
+            return ocp_n
+
+        out = benchmark_increasing_n_open_loop(
+            make_ocp, N_values, x0, dt_init=dt,
+        )
+        rec.add_matrix("benchmark/n_values", np.asarray(N_values, dtype=np.float64))
+        rec.add_matrix(
+            "benchmark/solve_times",
+            np.asarray([r["solve_time_s"] for r in out], dtype=np.float64),
+        )
+        rec.add_matrix(
+            "benchmark/objectives",
+            np.asarray([float(r["objective"]) for r in out], dtype=np.float64),
+        )
+        rec.add_matrix(
+            "benchmark/status",
+            np.asarray([int(r["status"]) for r in out], dtype=np.float64),
+        )
     else:
         raise KeyError(f"unknown task {task!r}")
     return rec

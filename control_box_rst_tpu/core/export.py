@@ -46,13 +46,30 @@ def export_tsv(recorder: SignalRecorder, directory: str) -> None:
     for name in recorder.names():
         sig = recorder.get(name)
         fname = os.path.join(directory, name.replace("/", "__") + ".tsv")
-        times = np.atleast_1d(np.asarray(sig.get("times", [])))
+        kind = sig.get("kind", "time_series")
+        if kind == "matrix":
+            # one row per matrix: index column, then the flattened matrix
+            mats = sig.get("matrices", [])
+            idx = sig.get("indices", list(range(len(mats))))
+            with open(fname, "w") as f:
+                for i, m in zip(idx, mats):
+                    row = [f"{i:.9g}"] + [
+                        f"{v:.9g}" for v in np.ravel(np.asarray(m))
+                    ]
+                    f.write("\t".join(row) + "\n")
+            continue
+        if kind == "indexed":
+            first_col = np.atleast_1d(
+                np.asarray(sig.get("indices", []), dtype=np.float64)
+            )
+        else:
+            first_col = np.atleast_1d(np.asarray(sig.get("times", [])))
         values = np.asarray(sig.get("values", []))
         if values.ndim == 1:
             values = values[:, None]
-        n = min(len(times), len(values)) if len(times) else len(values)
+        n = min(len(first_col), len(values)) if len(first_col) else len(values)
         with open(fname, "w") as f:
             for i in range(n):
-                row = [f"{times[i]:.9g}"] if len(times) else []
+                row = [f"{first_col[i]:.9g}"] if len(first_col) else []
                 row += [f"{v:.9g}" for v in np.ravel(values[i])]
                 f.write("\t".join(row) + "\n")

@@ -36,6 +36,10 @@ class StageCost:
 
     integral: bool = static_field(default=False)
     lsq_form: bool = static_field(default=False)
+    # whether the stage Hessian is PSD everywhere; nonconvex costs set this
+    # False so the SQP auto-enables its PSD clamp (indefinite blocks NaN the
+    # QP's Cholesky otherwise)
+    convex: bool = static_field(default=True)
 
     def stage(self, x, u, dt, xref, uref):
         return jnp.zeros(())
@@ -150,11 +154,16 @@ class MinTimeQuadraticGainScheduled(StageCost):
     R: jax.Array = None
     radius: jax.Array = 1.0
     sharpness: jax.Array = 10.0
+    convex: bool = static_field(default=False)
 
     def stage(self, x, u, dt, xref, uref):
         dx = x - xref
-        dist = jnp.sqrt(dx @ dx + 1e-12)
-        gain = jax.nn.sigmoid(self.sharpness * (1.0 - dist / self.radius))
+        # schedule on the SQUARED distance: sqrt's Hessian is unbounded at
+        # dx → 0 (1/dist³), which NaNs Newton steps exactly when the state
+        # reaches the goal — the squared form is C^∞ everywhere
+        gain = jax.nn.sigmoid(
+            self.sharpness * (1.0 - (dx @ dx) / (self.radius**2))
+        )
         c = self.time_weight * dt
         if self.Q is not None:
             c = c + gain * (dx @ self.Q @ dx)
@@ -224,6 +233,11 @@ class CompositeCost(StageCost):
     """Sum of a stage cost and a terminal cost object (or several)."""
 
     costs: tuple = static_field(default=())
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "convex", all(getattr(c, "convex", True) for c in self.costs)
+        )
 
     def stage(self, x, u, dt, xref, uref):
         total = jnp.zeros(())

@@ -108,6 +108,7 @@ def benchmark_increasing_n_open_loop(
                 "objective": float(res.objective),
                 "iterations": int(res.iterations),
                 "feas_res": float(res.feas_res),
+                "status": int(res.status),
                 "solve_time_s": wall,
             }
         )

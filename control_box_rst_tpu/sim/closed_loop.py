@@ -76,11 +76,14 @@ def run_closed_loop(
     obs_carry0 = observer.init_carry(x0)
 
     def step(carry, k):
-        x, ctrl_carry, obs_carry, key = carry
+        x, ctrl_carry, obs_carry, u_prev, key = carry
         key, k_out, k_plant = jax.random.split(key, 3)
         t = t0 + k * dt
         y = plant.output(x, k_out)
-        obs_carry, x_hat = observer.observe(obs_carry, y, jnp.zeros((plant.system.nu,), x.dtype), dt)
+        # the observer predicts with the control applied over the PREVIOUS
+        # interval (ref: the reference's observer consumes the commanded
+        # control sequence, observer_interface.h observe(..., u))
+        obs_carry, x_hat = observer.observe(obs_carry, y, u_prev, dt)
         ctrl_carry, out = controller.step(ctrl_carry, x_hat, t, dt)
         # failure → zero controls (ref task_closed_loop_control.cpp:200-206)
         u = jnp.where(out.ok, out.u, jnp.zeros_like(out.u))
@@ -111,10 +114,11 @@ def run_closed_loop(
                 substep, x, (jnp.arange(S), keys)
             )
         outputs = (t, x_next, y, x_hat, u, out.ok, out.info)
-        return (x_next, ctrl_carry, obs_carry, key), outputs
+        return (x_next, ctrl_carry, obs_carry, u, key), outputs
 
-    (xf, _, _, _), (ts, xs, ys, xhats, us, oks, infos) = jax.lax.scan(
-        step, (x0, ctrl_carry0, obs_carry0, key), jnp.arange(T_steps)
+    u_prev0 = jnp.zeros((plant.system.nu,), x0.dtype)
+    (xf, _, _, _, _), (ts, xs, ys, xhats, us, oks, infos) = jax.lax.scan(
+        step, (x0, ctrl_carry0, obs_carry0, u_prev0, key), jnp.arange(T_steps)
     )
     x_true = jnp.concatenate([x0[None], xs], axis=0)
     return ClosedLoopResult(

@@ -152,7 +152,7 @@ def sqp_solve(
         J, K, c = ocp.interval_jacobians(W)
         grad = ocp.cost_gradient(W)
         Hd = ocp.cost_hessian_blocks(W)
-        if cfg.psd_clamp:
+        if cfg.psd_clamp or not getattr(ocp.cost, "convex", True):
             Hd = _psd_clamp(Hd)
         if cfg.prox:
             Hd = Hd + cfg.prox * jnp.eye(nz, dtype=dtype)[None]
