@@ -50,6 +50,25 @@ def main():
 
     solves_per_s = B * reps / dt_total
     conv = float(jnp.mean((status == 1).astype(jnp.float32)))
+
+    # single-solve p99 latency (real-time MPC stepping): block cyclic
+    # reduction linear solver — log-depth, ~6x lower latency at B=1
+    from control_box_rst_tpu.solvers import QPConfig, SQPConfig
+
+    cfg_lat = SQPConfig(
+        max_iter=6, qp=QPConfig(max_iter=100, tol=1e-5, linsolver="bcr"),
+        tol_stat=5e-4, tol_feas=1e-5,
+    )
+    solver1 = make_batched_solver(ocp, cfg_lat, dt_init=0.1)
+    x0_1 = x0s[:1]
+    jax.block_until_ready(solver1(x0_1)[0])
+    lats = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        jax.block_until_ready(solver1(x0_1)[0])
+        lats.append(time.perf_counter() - t0)
+    p99_ms = float(np.percentile(np.asarray(lats), 99) * 1e3)
+
     result = {
         "metric": "h50_sqp_solves_per_s_per_chip",
         "value": round(solves_per_s, 1),
@@ -58,6 +77,7 @@ def main():
         "batch": B,
         "converged_frac": round(conv, 4),
         "mean_sqp_iters": round(float(jnp.mean(iters.astype(jnp.float32))), 2),
+        "p99_single_solve_ms": round(p99_ms, 2),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from control_box_rst_tpu.ops.btridiag import btridiag_cholesky, btridiag_solve
+from control_box_rst_tpu.ops.btridiag_cr import bcr_factor, bcr_solve
 from control_box_rst_tpu.utils.tree import pytree_dataclass, static_field
 
 
@@ -65,6 +66,14 @@ class QPConfig:
     iters_per_round: int = static_field(default=50)
     rho_min: float = static_field(default=1e-4)
     rho_max: float = static_field(default=1e4)
+    # block-tridiagonal linear solver:
+    #   'scan' — Thomas-ordering block Cholesky (ops/btridiag.py). Best
+    #     throughput for batched solves (the batch axis already fills the
+    #     chip; measured 15.7k vs 8.3k solves/s at B=1024 on TPU v5e).
+    #   'bcr'  — block cyclic reduction (ops/btridiag_cr.py), log₂-depth.
+    #     ~6× lower latency for SINGLE solves (B=1: 33 ms vs 192 ms on the
+    #     same chip) — use for real-time per-step MPC.
+    linsolver: str = static_field(default="scan")
 
 
 class QPSolution(NamedTuple):
@@ -178,7 +187,16 @@ def solve_stage_qp(
         x, z_d, z_g, z_b, y_d, y_g, y_b, rho, rnd, it, pr, dr = state
         rho_eq, rho_gen, rho_box = family_rhos(rho)
         D, O = _assemble_M(qp, cfg, rho_eq, rho_gen, rho_box)
-        Ld, Lo = btridiag_cholesky(D, O)
+        if cfg.linsolver == "bcr":
+            fac = bcr_factor(D, O)
+            solve_M = lambda rhs: bcr_solve(fac, rhs)
+        elif cfg.linsolver == "scan":
+            Ld, Lo = btridiag_cholesky(D, O)
+            solve_M = lambda rhs: btridiag_solve(Ld, Lo, rhs)
+        else:
+            raise KeyError(
+                f"unknown linsolver {cfg.linsolver!r}; have ['scan', 'bcr']"
+            )
 
         def admm_iter(_, s):
             x, z_d, z_g, z_b, y_d, y_g, y_b, it, pr, dr = s
@@ -189,7 +207,7 @@ def solve_stage_qp(
                     rho_eq * z_d - y_d, rho_gen * z_g - y_g, rho_box * z_b - y_b
                 )
             )
-            x_t = btridiag_solve(Ld, Lo, rhs)
+            x_t = solve_M(rhs)
             a = cfg.alpha
             Ax_d, Ax_g, Ax_b = A_mul(x_t)
             x_new = a * x_t + (1 - a) * x
