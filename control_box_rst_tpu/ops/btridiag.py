@@ -23,6 +23,9 @@ import jax.numpy as jnp
 
 from control_box_rst_tpu.ops.smallmat import (
     chol_small,
+    mm_small_nt,
+    mv_small,
+    mv_small_t,
     solve_lower_mat,
     solve_lower_vec,
     solve_upperT_vec,
@@ -62,7 +65,8 @@ def btridiag_cholesky(D: jax.Array, O: jax.Array) -> Tuple[jax.Array, jax.Array]
         # L_{k+1,k} = Okᵀ Lprev^{-T}:  solve Lprev X = Ok, then Lo = Xᵀ
         X = _solve_tri_lower(Lprev, Ok)  # Lprev X = O_k → X = Lprev^{-1} O_k
         Lo_k = X.T  # [nz, nz]
-        S = Dk1 - Lo_k @ Lo_k.T
+        # tiny matmul as broadcast-sum (dot_general pads onto the MXU)
+        S = Dk1 - mm_small_nt(Lo_k, Lo_k)
         Lk1 = chol_small(S)
         return Lk1, (Lk1, Lo_k)
 
@@ -81,7 +85,7 @@ def btridiag_solve(Ld: jax.Array, Lo: jax.Array, b: jax.Array) -> jax.Array:
 
     def fwd(zprev, inputs):
         Ldk, Lok, bk = inputs
-        zk = _solve_tri_lower(Ldk, bk - Lok @ zprev)
+        zk = _solve_tri_lower(Ldk, bk - mv_small(Lok, zprev))
         return zk, zk
 
     _, z_rest = jax.lax.scan(fwd, z0, (Ld[1:], Lo, b[1:]))
@@ -92,7 +96,7 @@ def btridiag_solve(Ld: jax.Array, Lo: jax.Array, b: jax.Array) -> jax.Array:
 
     def bwd(xnext, inputs):
         Ldk, Lok, zk = inputs
-        xk = _solve_tri_upper_T(Ldk, zk - Lok.T @ xnext)
+        xk = _solve_tri_upper_T(Ldk, zk - mv_small_t(Lok, xnext))
         return xk, xk
 
     _, x_rest = jax.lax.scan(bwd, xK, (Ld[:-1], Lo, z[:-1]), reverse=True)
@@ -101,9 +105,9 @@ def btridiag_solve(Ld: jax.Array, Lo: jax.Array, b: jax.Array) -> jax.Array:
 
 def btridiag_matvec(D: jax.Array, O: jax.Array, x: jax.Array) -> jax.Array:
     """y = M x for the block-tridiagonal M (testing / residuals)."""
-    y = jnp.einsum("kij,kj->ki", D, x)
-    y = y.at[:-1].add(jnp.einsum("kij,kj->ki", O, x[1:]))
-    y = y.at[1:].add(jnp.einsum("kji,kj->ki", O, x[:-1]))
+    y = mv_small(D, x)
+    y = y.at[:-1].add(mv_small(O, x[1:]))
+    y = y.at[1:].add(mv_small_t(O, x[:-1]))
     return y
 
 

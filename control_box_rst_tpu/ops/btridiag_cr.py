@@ -39,7 +39,14 @@ from typing import List, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from control_box_rst_tpu.ops.smallmat import inv_spd_small
+from control_box_rst_tpu.ops.smallmat import (
+    inv_spd_small,
+    mm_small,
+    mm_small_nt,
+    mm_small_tn,
+    mv_small,
+    mv_small_t,
+)
 
 
 class BCRFactors(NamedTuple):
@@ -79,12 +86,12 @@ def bcr_factor(D: jax.Array, O: jax.Array) -> BCRFactors:
         Binv = inv_spd_small(D_odd)               # [n_odd, nz, nz]
         OL = O[0::2]                              # O[2j]
         OR = O[1::2]                              # O[2j+1]
-        alpha = jnp.einsum("kji,kjl->kil", OR, Binv)   # α_{j+1}
-        gamma = jnp.einsum("kij,kjl->kil", OL, Binv)   # γ_j
+        alpha = mm_small_tn(OR, Binv)   # α_{j+1}
+        gamma = mm_small(OL, Binv)   # γ_j
         D_new = D[0::2]
-        D_new = D_new.at[1:].add(-jnp.einsum("kij,kjl->kil", alpha, OR))
-        D_new = D_new.at[:-1].add(-jnp.einsum("kij,klj->kil", gamma, OL))
-        O_new = -jnp.einsum("kij,kjl->kil", gamma, OR)
+        D_new = D_new.at[1:].add(-mm_small(alpha, OR))
+        D_new = D_new.at[:-1].add(-mm_small_nt(gamma, OL))
+        O_new = -mm_small(gamma, OR)
         levels.append((Binv, alpha, gamma, OL, OR))
         D, O = D_new, O_new
     # 2-block root: [[D0, O0], [O0ᵀ, D1]]
@@ -98,7 +105,7 @@ def bcr_solve(fac: BCRFactors, b: jax.Array) -> jax.Array:
     """Solve M x = b with precomputed factors. b: [K, nz] → x: [K, nz]."""
     K, nz = fac.K, b.shape[-1]
     if K == 1:
-        return jnp.einsum("ij,kj->ki", fac.root_inv, b)
+        return mv_small(fac.root_inv[None], b)
     Kp = (1 << len(fac.levels)) + 1  # padded size the factor loop started from
     if Kp != K:
         b = jnp.concatenate(
@@ -109,23 +116,19 @@ def bcr_solve(fac: BCRFactors, b: jax.Array) -> jax.Array:
     for (Binv, alpha, gamma, OL, OR) in fac.levels:
         b_odd = b[1::2]
         b_new = b[0::2]
-        b_new = b_new.at[1:].add(-jnp.einsum("kij,kj->ki", alpha, b_odd))
-        b_new = b_new.at[:-1].add(-jnp.einsum("kij,kj->ki", gamma, b_odd))
+        b_new = b_new.at[1:].add(-mv_small(alpha, b_odd))
+        b_new = b_new.at[:-1].add(-mv_small(gamma, b_odd))
         b_odds.append(b_odd)
         b = b_new
     # 2-block root
-    x2 = jnp.einsum("ij,j->i", fac.root_inv, b.reshape(-1))
+    x2 = mv_small(fac.root_inv, b.reshape(-1))
     x = x2.reshape(2, nz)
     # back substitution
     for (Binv, alpha, gamma, OL, OR), b_odd in zip(
         reversed(fac.levels), reversed(b_odds)
     ):
-        rhs = (
-            b_odd
-            - jnp.einsum("kji,kj->ki", OL, x[:-1])
-            - jnp.einsum("kij,kj->ki", OR, x[1:])
-        )
-        x_odd = jnp.einsum("kij,kj->ki", Binv, rhs)
+        rhs = b_odd - mv_small_t(OL, x[:-1]) - mv_small(OR, x[1:])
+        x_odd = mv_small(Binv, rhs)
         full = jnp.zeros((x.shape[0] + x_odd.shape[0], nz), x.dtype)
         x = full.at[0::2].set(x).at[1::2].set(x_odd)
     return x[:K]

@@ -86,3 +86,35 @@ def inv_spd_small(A: jax.Array) -> jax.Array:
     X = solve_lower_mat(L, eye)
     # A^{-1} = L^{-T} L^{-1} = Xᵀ X with X = L^{-1}
     return jnp.einsum("...ki,...kj->...ij", X, X)
+
+
+# -- tiny-contraction products as broadcast-multiply-sum --------------------
+# XLA lowers dot_general with 2-12-wide contraction dims onto padded MXU /
+# convolution kernels (measured 43% of solve time at 0.008% FLOPs util on
+# TPU v5e). Expressing the same contractions as broadcast elementwise
+# multiplies + a small-axis reduce keeps them on the VPU and lets XLA fuse
+# them into the surrounding elementwise graph.
+
+def mm_small(A: jax.Array, B: jax.Array) -> jax.Array:
+    """A @ B for tiny trailing dims: [..., m, k] x [..., k, n] -> [..., m, n]."""
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
+def mm_small_tn(A: jax.Array, B: jax.Array) -> jax.Array:
+    """Aᵀ @ B: [..., k, m] x [..., k, n] -> [..., m, n] (contract first dim)."""
+    return jnp.sum(A[..., :, :, None] * B[..., :, None, :], axis=-3)
+
+
+def mm_small_nt(A: jax.Array, B: jax.Array) -> jax.Array:
+    """A @ Bᵀ: [..., m, k] x [..., n, k] -> [..., m, n]."""
+    return jnp.sum(A[..., :, None, :] * B[..., None, :, :], axis=-1)
+
+
+def mv_small(A: jax.Array, x: jax.Array) -> jax.Array:
+    """A @ x: [..., m, k] x [..., k] -> [..., m]."""
+    return jnp.sum(A * x[..., None, :], axis=-1)
+
+
+def mv_small_t(A: jax.Array, x: jax.Array) -> jax.Array:
+    """Aᵀ @ x: [..., k, m] x [..., k] -> [..., m]."""
+    return jnp.sum(A * x[..., :, None], axis=-2)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from control_box_rst_tpu.ops.btridiag import btridiag_cholesky, btridiag_solve
 from control_box_rst_tpu.ops.btridiag_cr import bcr_factor, bcr_solve
+from control_box_rst_tpu.ops.smallmat import mm_small_tn, mv_small, mv_small_t
 from control_box_rst_tpu.utils.tree import pytree_dataclass, static_field
 
 
@@ -108,14 +109,17 @@ def _assemble_M(qp: StageQP, cfg: QPConfig, rho_eq, rho_gen, rho_box):
     eye = jnp.eye(nz, dtype=qp.Hd.dtype)
     D = qp.Hd + cfg.sigma * eye[None]
     # dynamics rows: ρ_eq (JᵀJ at k, KᵀK at k+1, JᵀK off-diag)
-    JtJ = jnp.einsum("kri,krj->kij", qp.J, qp.J)
-    KtK = jnp.einsum("kri,krj->kij", qp.K, qp.K)
+    # tiny contractions as broadcast-multiply-sum (smallmat.mm_small_tn):
+    # einsum/dot_general here lowers to padded MXU convolutions — measured
+    # 43% of total solve time at 0.008% FLOPs utilization on TPU v5e
+    JtJ = mm_small_tn(qp.J, qp.J)
+    KtK = mm_small_tn(qp.K, qp.K)
     D = D.at[:-1].add(rho_eq * JtJ)
     D = D.at[1:].add(rho_eq * KtK)
-    O = rho_eq * jnp.einsum("kri,krj->kij", qp.J, qp.K)  # [N, nz, nz]
+    O = rho_eq * mm_small_tn(qp.J, qp.K)  # [N, nz, nz]
     # general rows: per-row ρ
     if qp.G.shape[1] > 0:
-        D = D + jnp.einsum("kri,kr,krj->kij", qp.G, rho_gen, qp.G)
+        D = D + mm_small_tn(qp.G * rho_gen[..., None], qp.G)
     # box rows: diagonal per-row ρ
     D = D + jax.vmap(jnp.diag)(rho_box)
     return D, O
@@ -153,18 +157,16 @@ def solve_stage_qp(
         return rho_eq, rho_gen, rho_box
 
     def A_mul(x):
-        d = jnp.einsum("kri,ki->kr", qp.J, x[:-1]) + jnp.einsum(
-            "kri,ki->kr", qp.K, x[1:]
-        )
-        ggg = jnp.einsum("kri,ki->kr", qp.G, x) if ng else jnp.zeros((Np1, 0), dtype)
+        d = mv_small(qp.J, x[:-1]) + mv_small(qp.K, x[1:])
+        ggg = mv_small(qp.G, x) if ng else jnp.zeros((Np1, 0), dtype)
         return d, ggg, x
 
     def At_mul(vd, vg, vb):
         out = jnp.zeros((Np1, nz), dtype)
-        out = out.at[:-1].add(jnp.einsum("kri,kr->ki", qp.J, vd))
-        out = out.at[1:].add(jnp.einsum("kri,kr->ki", qp.K, vd))
+        out = out.at[:-1].add(mv_small_t(qp.J, vd))
+        out = out.at[1:].add(mv_small_t(qp.K, vd))
         if ng:
-            out = out + jnp.einsum("kri,kr->ki", qp.G, vg)
+            out = out + mv_small_t(qp.G, vg)
         return out + vb
 
     l_dyn = -qp.c
