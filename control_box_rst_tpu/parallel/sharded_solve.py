@@ -38,6 +38,14 @@ def make_batched_solver(
     the compiled program partitions over devices.
     """
     cfg = cfg or SQPConfig()
+    # fused Pallas QP rounds: single-vmap context over a TPU backend with a
+    # box-only QP — exactly the kernel's supported envelope
+    if (
+        cfg.qp.backend is None
+        and ocp.ng == 0
+        and jax.devices()[0].platform in ("tpu", "axon")
+    ):
+        cfg = cfg.replace(qp=cfg.qp.replace(backend="fused"))
     N, nu = ocp.N, ocp.nu
 
     def solve_one(x0):

@@ -75,6 +75,15 @@ class QPConfig:
     #     ~6× lower latency for SINGLE solves (B=1: 33 ms vs 192 ms on the
     #     same chip) — use for real-time per-step MPC.
     linsolver: str = static_field(default="scan")
+    # QP round execution backend:
+    #   'xla'   — lax loops over XLA ops (works everywhere; default)
+    #   'fused' — whole ρ-rounds in ONE Pallas kernel (VMEM-resident state,
+    #     ops/pallas/admm_kernel.py). Requires ng == 0 and f32; dispatched
+    #     through custom_vmap, so it only engages under a single vmap level
+    #     (make_batched_solver enables it on TPU). Falls back to 'xla'
+    #     per-lane when called unbatched.
+    # None = auto: make_batched_solver picks 'fused' on TPU, else 'xla'.
+    backend: str = static_field(default=None)
 
 
 class QPSolution(NamedTuple):
@@ -123,6 +132,84 @@ def _assemble_M(qp: StageQP, cfg: QPConfig, rho_eq, rho_gen, rho_box):
     # box rows: diagonal per-row ρ
     D = D + jax.vmap(jnp.diag)(rho_box)
     return D, O
+
+
+def _make_fused_round(cfg: QPConfig, iters: int, tol):
+    """custom_vmap wrapper: per-lane reference implementation + a batched
+    rule that dispatches the whole batch to the fused Pallas kernel."""
+    from control_box_rst_tpu.ops.pallas.admm_kernel import admm_round_pallas
+
+    sigma, alpha, res = cfg.sigma, cfg.alpha, cfg.rho_eq_scale
+
+    @jax.custom_batching.custom_vmap
+    def fused_round(Hd, J, K, g, c, dlb, dub, rho, x, z_b, y_d, y_b):
+        # reference (unbatched) implementation — matches the kernel exactly:
+        # z_d ≡ -c eliminated, pr/dr computed once on the final iterate
+        dtype = g.dtype
+        Np1, nz = g.shape
+        box_is_eq = dlb == dub
+        rho_eq = rho * res
+        rho_box = jnp.where(box_is_eq, rho_eq, rho).astype(dtype)
+        D, O = _assemble_M(
+            StageQP(Hd=Hd, g=g, J=J, K=K, c=c,
+                    G=jnp.zeros((Np1, 0, nz), dtype),
+                    gl=jnp.zeros((Np1, 0), dtype), gu=jnp.zeros((Np1, 0), dtype),
+                    dlb=dlb, dub=dub),
+            cfg, rho_eq, jnp.zeros((Np1, 0), dtype), rho_box,
+        )
+        Ld, Lo = btridiag_cholesky(D, O)
+
+        def At(vd, vb):
+            out = jnp.zeros((Np1, nz), dtype)
+            out = out.at[:-1].add(mv_small_t(J, vd))
+            out = out.at[1:].add(mv_small_t(K, vd))
+            return out + vb
+
+        def body(_, st):
+            x, z_b, y_d, y_b, _ = st
+            vd = -rho_eq * c - y_d
+            rhs = sigma * x - g + At(vd, rho_box * z_b - y_b)
+            x_t = btridiag_solve(Ld, Lo, rhs)
+            x = alpha * x_t + (1.0 - alpha) * x
+            ax = mv_small(J, x_t[:-1]) + mv_small(K, x_t[1:])
+            v_d = alpha * ax + (1.0 - alpha) * (-c)
+            y_d = y_d + rho_eq * (v_d + c)
+            v_b = alpha * x_t + (1.0 - alpha) * z_b
+            z_new = jnp.clip(v_b + y_b / rho_box, dlb, dub)
+            y_b = y_b + rho_box * (v_b - z_new)
+            return x, z_new, y_d, y_b, x_t
+
+        x, z_b, y_d, y_b, x_t = jax.lax.fori_loop(
+            0, iters, body, (x, z_b, y_d, y_b, jnp.zeros_like(x))
+        )
+        # residuals on the final iterate (same semantics as the kernel)
+        ax = mv_small(J, x_t[:-1]) + mv_small(K, x_t[1:])
+        pr = jnp.maximum(
+            jnp.max(jnp.abs(ax + c)), jnp.max(jnp.abs(x_t - z_b))
+        )
+        v_b = alpha * x_t + (1.0 - alpha) * z_b
+        z_new = jnp.clip(v_b + y_b / rho_box, dlb, dub)
+        dr = jnp.max(jnp.abs(rho_box * (z_new - z_b)))
+        return x, z_b, y_d, y_b, pr, dr
+
+    @fused_round.def_vmap
+    def _rule(axis_size, in_batched, Hd, J, K, g, c, dlb, dub, rho,
+              x, z_b, y_d, y_b):
+        def bc(a, batched):
+            return a if batched else jnp.broadcast_to(
+                a[None], (axis_size,) + a.shape
+            )
+        args = [bc(a, b) for a, b in zip(
+            (Hd, J, K, g, c, dlb, dub, rho, x, z_b, y_d, y_b), in_batched
+        )]
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        outs = admm_round_pallas(
+            *args, iters=iters, sigma=sigma, alpha=alpha, rho_eq_scale=res,
+            interpret=interpret,
+        )
+        return outs, tuple(True for _ in outs)
+
+    return fused_round
 
 
 def solve_stage_qp(
@@ -184,6 +271,45 @@ def solve_stage_qp(
 
     big = jnp.asarray(jnp.inf, dtype)
     n_rounds = max(1, -(-max_iter // cfg.iters_per_round))
+
+    use_fused = cfg.backend == "fused" and ng == 0 and dtype == jnp.float32
+    if use_fused:
+        fused_round = _make_fused_round(cfg, cfg.iters_per_round, tol)
+
+        def round_body(state):
+            x, z_d, z_g, z_b, y_d, y_g, y_b, rho, rnd, it, pr, dr = state
+            x, z_b, y_d, y_b, pr, dr = fused_round(
+                qp.Hd, qp.J, qp.K, qp.g, qp.c, qp.dlb, qp.dub, rho,
+                x, z_b, y_d, y_b,
+            )
+            scale = jnp.sqrt(pr / jnp.maximum(dr, 1e-30))
+            rho_new = jnp.clip(
+                rho * jnp.clip(scale, 0.1, 10.0), cfg.rho_min, cfg.rho_max
+            )
+            converged = (pr < tol) & (dr < tol)
+            rho_new = jnp.where(converged, rho, rho_new)
+            it = it + jnp.asarray(cfg.iters_per_round, jnp.int32)
+            # z_d ≡ -c (equality rows) — keep the carried value in sync
+            return (
+                x, -qp.c, z_g, z_b, y_d, y_g, y_b, rho_new, rnd + 1, it, pr, dr
+            )
+
+        init = (
+            x, z_d, z_g, z_b, y_d, y_g, y_b,
+            jnp.asarray(cfg.rho, dtype),
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), big, big,
+        )
+
+        def cond(state):
+            rnd, pr, dr = state[8], state[10], state[11]
+            return (rnd < n_rounds) & ((pr > tol) | (dr > tol))
+
+        out = jax.lax.while_loop(cond, round_body, init)
+        x, z_d, z_g, z_b, y_d, y_g, y_b, rho, rnd, it, pr, dr = out
+        return QPSolution(
+            delta=x, y_dyn=y_d, y_gen=y_g, y_box=y_b, iters=it,
+            prim_res=pr, dual_res=dr,
+        )
 
     def round_body(state):
         x, z_d, z_g, z_b, y_d, y_g, y_b, rho, rnd, it, pr, dr = state

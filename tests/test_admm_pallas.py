@@ -100,3 +100,48 @@ def test_kernel_padding_lanes_isolated():
     )
     for o in out:
         assert bool(jnp.isfinite(o).all())
+
+
+def test_fused_backend_under_vmap_matches_xla():
+    """solve_stage_qp(backend='fused') under vmap (custom_vmap rule →
+    kernel in interpret mode on CPU) agrees with the XLA backend."""
+    qps = [_random_qp(80 + i) for i in range(B)]
+    batched = _stack(qps)
+    # single round (no ρ adaptation): backends follow identical updates
+    kw = dict(max_iter=10, iters_per_round=10, tol=1e-30, linsolver="scan")
+    sol_x = jax.vmap(
+        lambda qp: solve_stage_qp(qp, QPConfig(backend="xla", **kw))
+    )(batched)
+    sol_f = jax.vmap(
+        lambda qp: solve_stage_qp(qp, QPConfig(backend="fused", **kw))
+    )(batched)
+    np.testing.assert_allclose(
+        np.asarray(sol_f.delta), np.asarray(sol_x.delta), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_f.y_box), np.asarray(sol_x.y_box), rtol=2e-3, atol=3e-3
+    )
+    # two rounds: the fused dual residual is a one-step lookahead, so the
+    # adapted ρ (and hence iterates) may differ slightly — same solution
+    # within loose tolerance
+    kw2 = dict(max_iter=20, iters_per_round=10, tol=1e-30, linsolver="scan")
+    sol_x2 = jax.vmap(
+        lambda qp: solve_stage_qp(qp, QPConfig(backend="xla", **kw2))
+    )(batched)
+    sol_f2 = jax.vmap(
+        lambda qp: solve_stage_qp(qp, QPConfig(backend="fused", **kw2))
+    )(batched)
+    np.testing.assert_allclose(
+        np.asarray(sol_f2.delta), np.asarray(sol_x2.delta), rtol=1e-2, atol=1e-3
+    )
+
+
+def test_fused_backend_unbatched_reference_path():
+    """Unbatched call uses the per-lane reference implementation."""
+    qp = _random_qp(99)
+    kw = dict(max_iter=10, iters_per_round=10, tol=1e-30, linsolver="scan")
+    sol_x = solve_stage_qp(qp, QPConfig(backend="xla", **kw))
+    sol_f = solve_stage_qp(qp, QPConfig(backend="fused", **kw))
+    np.testing.assert_allclose(
+        np.asarray(sol_f.delta), np.asarray(sol_x.delta), rtol=2e-4, atol=2e-5
+    )
