@@ -339,6 +339,28 @@ def admm_round_pallas(
     Bp = B + pad
     n_sub = TILE_B // LANE
 
+    # one TILE_B chunk per kernel launch: a multi-step grid would make the
+    # pipeliner double-buffer the ~12 MB of inputs and overflow the ~16 MB
+    # VMEM budget. lax.map serializes the launches (each is VMEM-saturating
+    # anyway, so there is no parallelism to lose).
+    if Bp > TILE_B:
+        n_chunks = Bp // TILE_B
+        chunked = jax.tree.map(
+            lambda a: a.reshape((n_chunks, TILE_B) + a.shape[1:]),
+            (Hd, J, K, g, c, dlb, dub, rho, x, z_b, y_d, y_b),
+        )
+        outs = jax.lax.map(
+            lambda ch: admm_round_pallas(
+                *ch, iters=iters, sigma=sigma, alpha=alpha,
+                rho_eq_scale=rho_eq_scale, interpret=interpret,
+            ),
+            chunked,
+        )
+        merged = jax.tree.map(
+            lambda a: a.reshape((Bp,) + a.shape[2:]), outs
+        )
+        return jax.tree.map(lambda a: a[:B], merged)
+
     tiles = lambda a: _to_tiles(a, Bp)
     args = tuple(map(tiles, (Hd, J, K, g, c, dlb, dub, rho, x, z_b, y_d, y_b)))
 

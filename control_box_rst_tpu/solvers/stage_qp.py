@@ -136,13 +136,14 @@ def _assemble_M(qp: StageQP, cfg: QPConfig, rho_eq, rho_gen, rho_box):
 
 def _make_fused_round(cfg: QPConfig, iters: int, tol):
     """custom_vmap wrapper: per-lane reference implementation + a batched
-    rule that dispatches the whole batch to the fused Pallas kernel."""
+    rule that dispatches the whole batch to the fused Pallas kernel (or, for
+    small batches where the kernel's 1024-lane tile would be mostly padding,
+    the vmapped reference)."""
     from control_box_rst_tpu.ops.pallas.admm_kernel import admm_round_pallas
 
     sigma, alpha, res = cfg.sigma, cfg.alpha, cfg.rho_eq_scale
 
-    @jax.custom_batching.custom_vmap
-    def fused_round(Hd, J, K, g, c, dlb, dub, rho, x, z_b, y_d, y_b):
+    def _reference(Hd, J, K, g, c, dlb, dub, rho, x, z_b, y_d, y_b):
         # reference (unbatched) implementation — matches the kernel exactly:
         # z_d ≡ -c eliminated, pr/dr computed once on the final iterate
         dtype = g.dtype
@@ -157,7 +158,12 @@ def _make_fused_round(cfg: QPConfig, iters: int, tol):
                     dlb=dlb, dub=dub),
             cfg, rho_eq, jnp.zeros((Np1, 0), dtype), rho_box,
         )
-        Ld, Lo = btridiag_cholesky(D, O)
+        if cfg.linsolver == "bcr":
+            fac = bcr_factor(D, O)
+            solve_M = lambda rhs: bcr_solve(fac, rhs)
+        else:
+            Ld, Lo = btridiag_cholesky(D, O)
+            solve_M = lambda rhs: btridiag_solve(Ld, Lo, rhs)
 
         def At(vd, vb):
             out = jnp.zeros((Np1, nz), dtype)
@@ -169,7 +175,7 @@ def _make_fused_round(cfg: QPConfig, iters: int, tol):
             x, z_b, y_d, y_b, _ = st
             vd = -rho_eq * c - y_d
             rhs = sigma * x - g + At(vd, rho_box * z_b - y_b)
-            x_t = btridiag_solve(Ld, Lo, rhs)
+            x_t = solve_M(rhs)
             x = alpha * x_t + (1.0 - alpha) * x
             ax = mv_small(J, x_t[:-1]) + mv_small(K, x_t[1:])
             v_d = alpha * ax + (1.0 - alpha) * (-c)
@@ -192,6 +198,8 @@ def _make_fused_round(cfg: QPConfig, iters: int, tol):
         dr = jnp.max(jnp.abs(rho_box * (z_new - z_b)))
         return x, z_b, y_d, y_b, pr, dr
 
+    fused_round = jax.custom_batching.custom_vmap(_reference)
+
     @fused_round.def_vmap
     def _rule(axis_size, in_batched, Hd, J, K, g, c, dlb, dub, rho,
               x, z_b, y_d, y_b):
@@ -202,11 +210,18 @@ def _make_fused_round(cfg: QPConfig, iters: int, tol):
         args = [bc(a, b) for a, b in zip(
             (Hd, J, K, g, c, dlb, dub, rho, x, z_b, y_d, y_b), in_batched
         )]
-        interpret = jax.devices()[0].platform not in ("tpu", "axon")
-        outs = admm_round_pallas(
-            *args, iters=iters, sigma=sigma, alpha=alpha, rho_eq_scale=res,
-            interpret=interpret,
-        )
+        # small batches: the 1024-lane tile would be >90% padding and B=1
+        # XLA programs lower poorly around an embedded kernel — the vmapped
+        # reference (which honors cfg.linsolver, e.g. the low-latency 'bcr')
+        # is faster below ~1/16 tile occupancy
+        if axis_size < 64:
+            outs = jax.vmap(_reference)(*args)
+        else:
+            interpret = jax.devices()[0].platform not in ("tpu", "axon")
+            outs = admm_round_pallas(
+                *args, iters=iters, sigma=sigma, alpha=alpha,
+                rho_eq_scale=res, interpret=interpret,
+            )
         return outs, tuple(True for _ in outs)
 
     return fused_round

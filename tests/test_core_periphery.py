@@ -188,3 +188,20 @@ def test_benchmark_increasing_n():
     # masked N=10 must equal the dedicated N=10 solve
     assert masked[1]["objective"] == pytest.approx(per_n[1]["objective"], rel=1e-6)
     assert all(r["feas_res"] < 1e-6 for r in masked)
+
+def test_time_duration_types():
+    """Time/Duration value types (ref: core/time.h:106,251)."""
+    from control_box_rst_tpu.core.timex import Duration, Time
+
+    d = Duration.from_sec(0.5)
+    assert (d + d).to_sec() == 1.0
+    assert (2 * d).to_sec() == 1.0
+    assert (-d).to_sec() == -0.5
+    t0 = Time.now()
+    t1 = t0 + Duration.from_sec(2.0)
+    assert isinstance(t1 - t0, Duration)
+    assert abs((t1 - t0).to_sec() - 2.0) < 1e-9
+    assert t1 > t0
+    later = Time.now() + Duration.from_sec(0.05)
+    later.sleep_until()
+    assert Time.now() >= later
