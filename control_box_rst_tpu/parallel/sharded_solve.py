@@ -39,11 +39,14 @@ def make_batched_solver(
     """
     cfg = cfg or SQPConfig()
     # fused Pallas QP rounds: single-vmap context over a TPU backend with a
-    # box-only QP — exactly the kernel's supported envelope
+    # box-only QP — exactly the kernel's supported envelope. Multi-device
+    # meshes keep the XLA path: a pallas_call is opaque to GSPMD auto
+    # partitioning (to fuse across chips, wrap in shard_map per shard).
     if (
         cfg.qp.backend is None
         and ocp.ng == 0
         and jax.devices()[0].platform in ("tpu", "axon")
+        and (mesh is None or mesh.size == 1)
     ):
         cfg = cfg.replace(qp=cfg.qp.replace(backend="fused"))
     N, nu = ocp.N, ocp.nu
