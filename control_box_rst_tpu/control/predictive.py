@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from control_box_rst_tpu.control.base import Controller, ControlOutput
 from control_box_rst_tpu.ocp.problem import Trajectory
 from control_box_rst_tpu.ocp.transcribe import TranscribedOCP
+from control_box_rst_tpu.solvers.ip import IPConfig, ip_solve
 from control_box_rst_tpu.solvers.sqp import SQPConfig, SQPWarmStart, sqp_solve
 from control_box_rst_tpu.utils.tree import pytree_dataclass, static_field
 
@@ -61,6 +62,12 @@ class PredictiveController(Controller):
     ocp: TranscribedOCP = None
     dt: jax.Array = 0.1  # grid dt (fixed grids) / initial dt guess (variable)
     cfg: SQPConfig = static_field(default=None)
+    # NLP backend: 'sqp' (default, warm-startable — the production MPC path)
+    # or 'ip' (interior point, solvers/ip.py — the IPOPT-role backend; only
+    # the primal warm-starts, duals re-center each step as in the reference's
+    # IPOPT warm-start caveats, nlp_solver_ipopt.h warm start options)
+    solver: str = static_field(default="sqp")
+    ip_cfg: IPConfig = static_field(default=None)
     num_ocp_iterations: int = static_field(default=1)
     warm_start_shift: bool = static_field(default=True)
     # grid adaptation strategy (ref: FiniteDifferencesVariableGrid::adaptGrid)
@@ -74,6 +81,12 @@ class PredictiveController(Controller):
     def __post_init__(self):
         if self.cfg is None:
             object.__setattr__(self, "cfg", SQPConfig())
+        if self.solver not in ("sqp", "ip"):
+            raise KeyError(
+                f"unknown solver {self.solver!r}; have ['sqp', 'ip']"
+            )
+        if self.solver == "ip" and self.ip_cfg is None:
+            object.__setattr__(self, "ip_cfg", IPConfig())
         if self.num_ocp_iterations < 1:
             raise ValueError("num_ocp_iterations must be >= 1")
 
@@ -127,21 +140,30 @@ class PredictiveController(Controller):
         )
         traj_init = ocp.unpack(W)
         res = None
-        for _ in range(self.num_ocp_iterations):
-            res = sqp_solve(ocp, traj_init, self.cfg, warm=warm)
-            warm = SQPWarmStart(
-                W=res.W, y_dyn=res.y_dyn, y_gen=res.y_gen, y_box=res.y_box
-            )
-            traj_init = res.traj
+        if self.solver == "ip":
+            res = ip_solve(ocp, traj_init, self.ip_cfg)
+            # map bound duals to the SQP's signed-box convention for the
+            # carry (positive = pushing against the upper bound)
+            res_y_box = res.z_uw - res.z_lw
+            res_qp_iters = jnp.asarray(0, jnp.int32)
+        else:
+            for _ in range(self.num_ocp_iterations):
+                res = sqp_solve(ocp, traj_init, self.cfg, warm=warm)
+                warm = SQPWarmStart(
+                    W=res.W, y_dyn=res.y_dyn, y_gen=res.y_gen, y_box=res.y_box
+                )
+                traj_init = res.traj
+            res_y_box = res.y_box
+            res_qp_iters = res.qp_iters
 
         u0 = res.traj.U[0]
         if self.warm_start_shift:
             W_next = shift_warm_start(res.W, ocp.nx)
             y_dyn = jnp.concatenate([res.y_dyn[1:], res.y_dyn[-1:]], axis=0)
             y_gen = jnp.concatenate([res.y_gen[1:], res.y_gen[-1:]], axis=0)
-            y_box = jnp.concatenate([res.y_box[1:], res.y_box[-1:]], axis=0)
+            y_box = jnp.concatenate([res_y_box[1:], res_y_box[-1:]], axis=0)
         else:
-            W_next, y_dyn, y_gen, y_box = res.W, res.y_dyn, res.y_gen, res.y_box
+            W_next, y_dyn, y_gen, y_box = res.W, res.y_dyn, res.y_gen, res_y_box
 
         new_carry = MPCCarry(
             W=W_next, y_dyn=y_dyn, y_gen=y_gen, y_box=y_box, u_prev=u0,
@@ -155,7 +177,7 @@ class PredictiveController(Controller):
             info={
                 "objective": res.objective,
                 "sqp_iters": res.iterations,
-                "qp_iters": res.qp_iters,
+                "qp_iters": res_qp_iters,
                 "stat_res": res.stat_res,
                 "feas_res": res.feas_res,
                 "dts": res.traj.dts,

@@ -323,6 +323,7 @@ def build_controller(config: Dict[str, Any]):
     ocp, system = build_ocp(config)
     if typ == "predictive":
         s = config.get("solver", {})
+        solver_type = s.get("type", "sqp")
         cfg = SQPConfig(
             max_iter=int(s.get("max_iter", 10)),
             qp=QPConfig(
@@ -332,6 +333,15 @@ def build_controller(config: Dict[str, Any]):
             tol_stat=float(s.get("tol_stat", 1e-6)),
             tol_feas=float(s.get("tol_feas", 1e-7)),
         )
+        ip_cfg = None
+        if solver_type == "ip":
+            from control_box_rst_tpu.solvers import IPConfig
+
+            ip_cfg = IPConfig(
+                max_iter=int(s.get("max_iter", 60)),
+                tol=(float(s["tol"]) if "tol" in s else None),
+                mu_init=float(s.get("mu_init", 1e-1)),
+            )
         adaptation = None
         a = ctrl_cfg.get("adaptation")
         if a:
@@ -349,7 +359,8 @@ def build_controller(config: Dict[str, Any]):
             PredictiveController(
                 nx=system.nx, nu=system.nu, ocp=ocp,
                 dt=float(config.get("experiment", {}).get("dt", 0.1)),
-                cfg=cfg, adaptation=adaptation,
+                cfg=cfg, solver=solver_type, ip_cfg=ip_cfg,
+                adaptation=adaptation,
                 warm_start_shift=bool(ctrl_cfg.get("warm_start_shift", True)),
             ),
             system,

@@ -13,3 +13,4 @@ from control_box_rst_tpu.solvers.sqp import (
     sqp_solve,
 )
 from control_box_rst_tpu.solvers.lm import LMConfig, LMResult, lm_solve
+from control_box_rst_tpu.solvers.ip import IPConfig, IPResult, ip_solve
