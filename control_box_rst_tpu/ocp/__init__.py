@@ -12,6 +12,8 @@ from control_box_rst_tpu.ocp.costs import (
     MinimumTime,
     MinimumTimeRegularized,
     MinTimeQuadratic,
+    MinTimeQuadraticControls,
+    MinTimeQuadraticStates,
     MinTimeQuadraticGainScheduled,
     QuadraticFinalStateCost,
     L1SoftConstraintCost,

@@ -143,6 +143,18 @@ class MinTimeQuadratic(StageCost):
         return c
 
 
+def MinTimeQuadraticControls(time_weight=1.0, R=None) -> MinTimeQuadratic:
+    """Time + control-effort blend (ref: MinTimeQuadraticControls,
+    hybrid_cost.h:306) — MinTimeQuadratic with no state term."""
+    return MinTimeQuadratic(time_weight=time_weight, Q=None, R=R)
+
+
+def MinTimeQuadraticStates(time_weight=1.0, Q=None) -> MinTimeQuadratic:
+    """Time + state-tracking blend (ref: MinTimeQuadraticStates,
+    hybrid_cost.h:392) — MinTimeQuadratic with no control term."""
+    return MinTimeQuadratic(time_weight=time_weight, Q=Q, R=None)
+
+
 @pytree_dataclass
 class MinTimeQuadraticGainScheduled(StageCost):
     """Gain-scheduled blend: quadratic weights fade in as ||x-xref|| shrinks

@@ -130,7 +130,10 @@ class TranscribedOCP:
 
     # ---------------- defect ----------------
     def _defect_fn(self):
-        """Returns defect(x, u, x1, dt) for the grid's scheme."""
+        """Returns defect(x, u, x1, u1, dt) for the grid's scheme. u1 is the
+        NEXT stage's control — only the linear-control Hermite-Simpson
+        scheme uses it (ref: QuadratureHermiteSimpsonLinearControl,
+        quadrature.h:622); the other schemes ignore it."""
         g = self.grid
         f = self.system
         if not f.continuous_time:
@@ -138,14 +141,22 @@ class TranscribedOCP:
             # undefined, both grid kinds use the one-step defect
             # (ref: discrete systems bypass integration,
             # system_dynamics_interface.h isContinuousTime)
-            return lambda x, u, x1, dt: f(x, u) - x1
+            return lambda x, u, x1, u1, dt: f(x, u) - x1
         if g.kind == "fd":
+            if g.fd_scheme == "hermite_simpson_lc":
+                from control_box_rst_tpu.ops.collocation import (
+                    hermite_simpson_lc_defect,
+                )
+
+                return lambda x, u, x1, u1, dt: hermite_simpson_lc_defect(
+                    f, x, u, x1, u1, dt
+                )
             scheme = get_fd_collocation(g.fd_scheme)
-            return lambda x, u, x1, dt: scheme(f, x, u, x1, dt)
+            return lambda x, u, x1, u1, dt: scheme(f, x, u, x1, dt)
         elif g.kind == "ms":
             integ = make_integrator(g.integrator, g.integrator_substeps)
             # MS defect: solveIVP(x,u,dt) - x1 (ref integrator_interface.h:219)
-            return lambda x, u, x1, dt: integ.solve_ivp(f, x, u, dt) - x1
+            return lambda x, u, x1, u1, dt: integ.solve_ivp(f, x, u, dt) - x1
         raise ValueError(f"unknown grid kind {g.kind!r}")
 
     def interval_residual(self, k, w, w1):
@@ -154,11 +165,15 @@ class TranscribedOCP:
         x, u, dt = self.split_w(w, nx, nu)
         x1 = w1[:nx]
         m = self.stage_mask[k]
+        # next stage's control (linear-control HS only); the last interval
+        # falls back to the interval's own control — stage N carries a
+        # pinned dummy u
+        u1 = jnp.where(k < self.N - 1, w1[nx : nx + nu], u)
         # guard: inactive intervals may carry dt = 0, and FD defects divide
         # by dt — evaluate them at a safe dt (result is masked out anyway;
         # without the guard, 0 · inf = NaN poisons the masked sum)
         dt_safe = jnp.where(m > 0, dt, jnp.ones_like(dt))
-        defect = self._defect_fn()(x, u, x1, dt_safe)
+        defect = self._defect_fn()(x, u, x1, u1, dt_safe)
         # inactive interval → identity chain (keeps tail pinned, QP regular)
         defect = m * defect + (1.0 - m) * (x1 - x)
         rows = [defect]
@@ -244,23 +259,33 @@ class TranscribedOCP:
                     c.stage(x, u, dt, xref, uref)
                     + c.stage(x1, u, dt, xref1, uref)
                 )
-            elif self.grid.cost_integration == "hermite_simpson":
+            elif self.grid.cost_integration in (
+                "hermite_simpson", "hermite_simpson_lc",
+            ):
                 # Simpson rule with the Hermite-interpolated midpoint
-                # (ref: QuadratureHermiteSimpson, quadrature.h:1087, and the
-                # Hermite-Simpson cost edges, collocation_edges.h)
+                # (ref: QuadratureHermiteSimpson, quadrature.h:1087; the
+                # _lc variant interpolates the control linearly,
+                # QuadratureHermiteSimpsonLinearControl, quadrature.h:622)
                 x1 = w1[:nx]
                 xref1 = self.refs.xref[k + 1]
+                if self.grid.cost_integration == "hermite_simpson_lc":
+                    u1 = jnp.where(
+                        k < self.N - 1, w1[nx : nx + nu], u
+                    )
+                else:
+                    u1 = u
+                um = 0.5 * (u + u1)
                 if self.system.continuous_time:
                     xm = 0.5 * (x + x1) + (dt / 8.0) * (
-                        self.system(x, u) - self.system(x1, u)
+                        self.system(x, u) - self.system(x1, u1)
                     )
                 else:
                     xm = 0.5 * (x + x1)
                 xrefm = 0.5 * (xref + xref1)
                 val = (dt / 6.0) * (
                     c.stage(x, u, dt, xref, uref)
-                    + 4.0 * c.stage(xm, u, dt, xrefm, uref)
-                    + c.stage(x1, u, dt, xref1, uref)
+                    + 4.0 * c.stage(xm, um, dt, xrefm, uref)
+                    + c.stage(x1, u1, dt, xref1, uref)
                 )
             else:  # left_sum
                 val = dt * c.stage(x, u, dt, xref, uref)
@@ -299,7 +324,7 @@ class TranscribedOCP:
             # integration touches x_k from the left interval
             t2 = jnp.zeros(())
             if self.cost.integral and self.grid.cost_integration in (
-                "trapezoidal", "hermite_simpson",
+                "trapezoidal", "hermite_simpson", "hermite_simpson_lc",
             ):
                 right = jnp.where(k > 0, 1.0, 0.0)
                 t2 = right * self._stage_term(

@@ -124,3 +124,29 @@ def hermite_simpson_defect(f: DynamicsFn, x1, u1, x2, dt):
 
 
 FD_COLLOCATIONS["hermite_simpson"] = hermite_simpson_defect
+
+
+def hermite_simpson_lc_defect(f: DynamicsFn, x1, u1, x2, u2, dt):
+    """Hermite-Simpson defect with LINEAR control interpolation: the
+    midpoint dynamics use um = (u1+u2)/2 and the endpoint terms their own
+    controls. (ref: QuadratureHermiteSimpsonLinearControl, quadrature.h:622,
+    vs the piecewise-constant variant at :1087.) Same 1/dt scaling
+    convention as the other defects. Extra u2 argument — the transcription
+    feeds the next stage's control (ocp/transcribe.py)."""
+    um = 0.5 * (u1 + u2)
+    f1 = f(x1, u1)
+    f2 = f(x2, u2)
+    xm = 0.5 * (x1 + x2) + (dt / 8.0) * (f1 - f2)
+    fm = f(xm, um)
+    return (f1 + 4.0 * fm + f2) / 6.0 - (x2 - x1) / dt
+
+
+def quadrature_hermite_simpson_lc(l, x1, u1, x2, u2, dt, f: DynamicsFn | None = None):
+    """Hermite-Simpson cost quadrature with linear control interpolation.
+    (ref: QuadratureHermiteSimpsonLinearControl, quadrature.h:622)"""
+    um = 0.5 * (u1 + u2)
+    if f is not None:
+        xm = 0.5 * (x1 + x2) + (dt / 8.0) * (f(x1, u1) - f(x2, u2))
+    else:
+        xm = 0.5 * (x1 + x2)
+    return (dt / 6.0) * (l(x1, u1) + 4.0 * l(xm, um) + l(x2, u2))

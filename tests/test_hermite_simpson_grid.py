@@ -130,3 +130,57 @@ def test_hs_end_to_end_solve_converges():
     )
     res_tr = jax.jit(lambda t: sqp_solve(ocp_tr, t, SQPConfig(max_iter=20)))(traj0)
     assert np.abs(np.asarray(res.traj.X) - np.asarray(res_tr.traj.X)).max() < 5e-2
+
+
+def test_hs_linear_control_defect_order():
+    """Linear-control HS (ref: QuadratureHermiteSimpsonLinearControl,
+    quadrature.h:622): for a LINEARLY varying control the _lc defect is
+    exact on polynomial trajectories where the constant-u variant is not.
+    System xdot = u with u(t) = t: x(t) = t²/2."""
+    from control_box_rst_tpu.ops.collocation import (
+        hermite_simpson_defect,
+        hermite_simpson_lc_defect,
+    )
+    from control_box_rst_tpu.models.base import FunctionalDynamics
+
+    f = FunctionalDynamics(nx=1, nu=1, fn=lambda x, u: u)
+    dt = 0.4
+    x1 = jnp.array([0.0])
+    x2 = jnp.array([dt**2 / 2.0])
+    u1 = jnp.array([0.0])
+    u2 = jnp.array([dt])
+    d_lc = hermite_simpson_lc_defect(f, x1, u1, x2, u2, dt)
+    d_const = hermite_simpson_defect(f, x1, u1, x2, dt)
+    assert abs(float(d_lc[0])) < 1e-12
+    assert abs(float(d_const[0])) > 1e-3  # constant-u misses the ramp
+
+
+def test_hs_linear_control_grid_solves():
+    """fd_scheme='hermite_simpson_lc' + cost_integration='hermite_simpson_lc'
+    transcribes and solves; solution tracks the fine-grid oracle better than
+    the same-N constant-control variant on a control-varying problem."""
+    sys_ = VanDerPolOscillator()
+    x0 = jnp.array([1.0, 0.5])
+
+    def solve(scheme, ci, N):
+        ocp = transcribe(
+            sys_,
+            finite_differences_grid(N, fd_scheme=scheme, cost_integration=ci),
+            QuadraticFormCost(Q=jnp.eye(2), R=0.1 * jnp.eye(1), integral=True),
+            bounds=Bounds.unbounded(2, 1).with_u(-2.0, 2.0),
+            x0=x0,
+        )
+        traj0 = Trajectory.linear_interp(x0, jnp.zeros(2), N, 1, 1.0 / N * 4.0)
+        return jax.jit(lambda t: sqp_solve(ocp, t, SQPConfig(max_iter=25)))(traj0)
+
+    r_lc = solve("hermite_simpson_lc", "hermite_simpson_lc", 16)
+    r_hs = solve("hermite_simpson", "hermite_simpson", 16)
+    r_fine = solve("hermite_simpson_lc", "hermite_simpson_lc", 64)
+    assert int(r_lc.status) == 1
+    # objectives of both coarse variants near the fine-grid oracle; _lc at
+    # least as close (linear control interpolation is strictly more accurate
+    # for this smooth problem)
+    e_lc = abs(float(r_lc.objective) - float(r_fine.objective))
+    e_hs = abs(float(r_hs.objective) - float(r_fine.objective))
+    assert e_lc <= e_hs * 1.5
+    assert e_lc < 0.05 * abs(float(r_fine.objective))
