@@ -55,6 +55,7 @@ def run_closed_loop(
     key: Optional[jax.Array] = None,
     t0: float = 0.0,
     apply_sequence_substeps: int = 0,
+    predictor=None,
 ) -> ClosedLoopResult:
     """Simulate T_steps of {output → observe → control → integrate}.
 
@@ -64,6 +65,12 @@ def run_closed_loop(
     the reference's behavior of handing the whole sequence to the plant
     (plant_interface.h:98, TimeValueBuffer interpolation); essential for
     time-optimal MPC whose planned dt can be shorter than the sampling time.
+
+    predictor: optional OneStepPredictor (models/filters.py) — propagates
+    the observed state by one control interval under the previously applied
+    control before solving, compensating the controller's own latency
+    (ref: CPU-time/dead-time compensation in the closed-loop task,
+    task_closed_loop_control.cpp:128-145). Pure, stays jittable.
 
     Pure and jittable; vmap over x0/key for batched rollouts.
     """
@@ -84,6 +91,8 @@ def run_closed_loop(
         # interval (ref: the reference's observer consumes the commanded
         # control sequence, observer_interface.h observe(..., u))
         obs_carry, x_hat = observer.observe(obs_carry, y, u_prev, dt)
+        if predictor is not None:
+            x_hat = predictor.predict_single(x_hat, u_prev, dt)
         ctrl_carry, out = controller.step(ctrl_carry, x_hat, t, dt)
         # failure → zero controls (ref task_closed_loop_control.cpp:200-206)
         u = jnp.where(out.ok, out.u, jnp.zeros_like(out.u))
