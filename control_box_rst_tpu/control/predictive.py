@@ -24,6 +24,7 @@ from control_box_rst_tpu.control.base import Controller, ControlOutput
 from control_box_rst_tpu.ocp.problem import Trajectory
 from control_box_rst_tpu.ocp.transcribe import TranscribedOCP
 from control_box_rst_tpu.solvers.ip import IPConfig, ip_solve
+from control_box_rst_tpu.solvers.lm import LMConfig, lm_solve
 from control_box_rst_tpu.solvers.sqp import SQPConfig, SQPWarmStart, sqp_solve
 from control_box_rst_tpu.utils.tree import pytree_dataclass, static_field
 
@@ -62,12 +63,17 @@ class PredictiveController(Controller):
     ocp: TranscribedOCP = None
     dt: jax.Array = 0.1  # grid dt (fixed grids) / initial dt guess (variable)
     cfg: SQPConfig = static_field(default=None)
-    # NLP backend: 'sqp' (default, warm-startable — the production MPC path)
-    # or 'ip' (interior point, solvers/ip.py — the IPOPT-role backend; only
-    # the primal warm-starts, duals re-center each step as in the reference's
-    # IPOPT warm-start caveats, nlp_solver_ipopt.h warm start options)
+    # NLP backend (ref: PredictiveController pairs with any factory-
+    # registered NlpSolver, nlp_solver_interface.h:118):
+    #   'sqp' — default, fully warm-startable, the production MPC path
+    #   'ip'  — interior point (solvers/ip.py, the IPOPT-role backend; only
+    #           the primal warm-starts, duals re-center each step as in the
+    #           reference's IPOPT warm-start caveats)
+    #   'lm'  — Levenberg-Marquardt penalty mode (solvers/lm.py, the
+    #           LevenbergMarquardt[Dense|Sparse] role; primal warm start)
     solver: str = static_field(default="sqp")
     ip_cfg: IPConfig = static_field(default=None)
+    lm_cfg: LMConfig = static_field(default=None)
     num_ocp_iterations: int = static_field(default=1)
     warm_start_shift: bool = static_field(default=True)
     # grid adaptation strategy (ref: FiniteDifferencesVariableGrid::adaptGrid)
@@ -81,12 +87,14 @@ class PredictiveController(Controller):
     def __post_init__(self):
         if self.cfg is None:
             object.__setattr__(self, "cfg", SQPConfig())
-        if self.solver not in ("sqp", "ip"):
+        if self.solver not in ("sqp", "ip", "lm"):
             raise KeyError(
-                f"unknown solver {self.solver!r}; have ['sqp', 'ip']"
+                f"unknown solver {self.solver!r}; have ['sqp', 'ip', 'lm']"
             )
         if self.solver == "ip" and self.ip_cfg is None:
             object.__setattr__(self, "ip_cfg", IPConfig())
+        if self.solver == "lm" and self.lm_cfg is None:
+            object.__setattr__(self, "lm_cfg", LMConfig())
         if self.num_ocp_iterations < 1:
             raise ValueError("num_ocp_iterations must be >= 1")
 
@@ -145,6 +153,25 @@ class PredictiveController(Controller):
             # map bound duals to the SQP's signed-box convention for the
             # carry (positive = pushing against the upper bound)
             res_y_box = res.z_uw - res.z_lw
+            res_qp_iters = jnp.asarray(0, jnp.int32)
+        elif self.solver == "lm":
+            import types
+
+            lm_res = lm_solve(ocp, traj_init, self.lm_cfg)
+            # adapt LMResult to the common fields used below (LM carries no
+            # duals — the penalty weights play that role, solvers/lm.py)
+            res = types.SimpleNamespace(
+                W=lm_res.W,
+                traj=lm_res.traj,
+                y_dyn=carry.y_dyn,
+                y_gen=carry.y_gen,
+                objective=ocp.objective_from_W(lm_res.W),
+                iterations=lm_res.iterations,
+                stat_res=lm_res.chi2,
+                feas_res=lm_res.feas_res,
+                status=lm_res.status,
+            )
+            res_y_box = carry.y_box
             res_qp_iters = jnp.asarray(0, jnp.int32)
         else:
             for _ in range(self.num_ocp_iterations):

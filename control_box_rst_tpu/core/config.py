@@ -334,6 +334,7 @@ def build_controller(config: Dict[str, Any]):
             tol_feas=float(s.get("tol_feas", 1e-7)),
         )
         ip_cfg = None
+        lm_cfg = None
         if solver_type == "ip":
             from control_box_rst_tpu.solvers import IPConfig
 
@@ -341,6 +342,14 @@ def build_controller(config: Dict[str, Any]):
                 max_iter=int(s.get("max_iter", 60)),
                 tol=(float(s["tol"]) if "tol" in s else None),
                 mu_init=float(s.get("mu_init", 1e-1)),
+            )
+        elif solver_type == "lm":
+            from control_box_rst_tpu.solvers import LMConfig
+
+            lm_cfg = LMConfig(
+                max_iter=int(s.get("max_iter", 50)),
+                mu_init=float(s.get("mu_init", 1e-4)),
+                feas_tol=float(s.get("tol_feas", 1e-6)),
             )
         adaptation = None
         a = ctrl_cfg.get("adaptation")
@@ -359,7 +368,7 @@ def build_controller(config: Dict[str, Any]):
             PredictiveController(
                 nx=system.nx, nu=system.nu, ocp=ocp,
                 dt=float(config.get("experiment", {}).get("dt", 0.1)),
-                cfg=cfg, solver=solver_type, ip_cfg=ip_cfg,
+                cfg=cfg, solver=solver_type, ip_cfg=ip_cfg, lm_cfg=lm_cfg,
                 adaptation=adaptation,
                 warm_start_shift=bool(ctrl_cfg.get("warm_start_shift", True)),
             ),

@@ -40,6 +40,12 @@ class StageCost:
     # False so the SQP auto-enables its PSD clamp (indefinite blocks NaN the
     # QP's Cholesky otherwise)
     convex: bool = static_field(default=True)
+    # whether stage()/final() are (at most) quadratic in (x, u) for fixed dt.
+    # Solvers use this to hoist the constant cost Hessian out of their
+    # iteration loops on LTI problems (the reference's analogue: the CSC
+    # structure/value split with `new_structure=false` pattern reuse,
+    # SURVEY.md §3.5 — here the *values* are constant too)
+    quadratic: bool = static_field(default=False)
 
     def stage(self, x, u, dt, xref, uref):
         return jnp.zeros(())
@@ -53,12 +59,19 @@ class StageCost:
         (quadratic_cost.h lsq mode). Default: none (empty residual)."""
         return jnp.zeros((0,))
 
+    def final_residual(self, x, xref):
+        """LSQ residual of the terminal cost, final = r'r (ref: the LSQ form
+        of QuadraticFinalStateCost, final_state_cost.h lsq mode). Default:
+        none (empty residual)."""
+        return jnp.zeros((0,))
+
 
 @pytree_dataclass
 class QuadraticFormCost(StageCost):
     """(x-xref)'Q(x-xref) + (u-uref)'R(u-uref).
     (ref: quadratic_cost.h:35-128)"""
 
+    quadratic: bool = static_field(default=True)
     Q: jax.Array = None  # [nx, nx]
     R: jax.Array = None  # [nu, nu]
 
@@ -81,22 +94,30 @@ class QuadraticFormCost(StageCost):
 class QuadraticStateCost(StageCost):
     """(x-xref)'Q(x-xref). (ref: quadratic_state_cost.h:35)"""
 
+    quadratic: bool = static_field(default=True)
     Q: jax.Array = None
 
     def stage(self, x, u, dt, xref, uref):
         dx = x - xref
         return dx @ self.Q @ dx
 
+    def stage_residual(self, x, u, dt, xref, uref):
+        return _sqrtm_psd(self.Q) @ (x - xref)
+
 
 @pytree_dataclass
 class QuadraticControlCost(StageCost):
     """(u-uref)'R(u-uref). (ref: quadratic_control_cost.h:35)"""
 
+    quadratic: bool = static_field(default=True)
     R: jax.Array = None
 
     def stage(self, x, u, dt, xref, uref):
         du = u - uref
         return du @ self.R @ du
+
+    def stage_residual(self, x, u, dt, xref, uref):
+        return _sqrtm_psd(self.R) @ (u - uref)
 
 
 @pytree_dataclass
@@ -189,11 +210,15 @@ class MinTimeQuadraticGainScheduled(StageCost):
 class QuadraticFinalStateCost(StageCost):
     """Terminal cost (x_N - xref)'Qf(x_N - xref). (ref: final_state_cost.h:47)"""
 
+    quadratic: bool = static_field(default=True)
     Qf: jax.Array = None
 
     def final(self, x, xref):
         dx = x - xref
         return dx @ self.Qf @ dx
+
+    def final_residual(self, x, xref):
+        return _sqrtm_psd(self.Qf) @ (x - xref)
 
 
 def riccati_terminal_cost(system, xref, uref, Q, R, dt: Optional[float] = None):
@@ -250,6 +275,11 @@ class CompositeCost(StageCost):
         object.__setattr__(
             self, "convex", all(getattr(c, "convex", True) for c in self.costs)
         )
+        object.__setattr__(
+            self,
+            "quadratic",
+            all(getattr(c, "quadratic", False) for c in self.costs),
+        )
 
     def stage(self, x, u, dt, xref, uref):
         total = jnp.zeros(())
@@ -262,6 +292,14 @@ class CompositeCost(StageCost):
         for c in self.costs:
             total = total + c.final(x, xref)
         return total
+
+    def stage_residual(self, x, u, dt, xref, uref):
+        parts = [c.stage_residual(x, u, dt, xref, uref) for c in self.costs]
+        return jnp.concatenate(parts) if parts else jnp.zeros((0,))
+
+    def final_residual(self, x, xref):
+        parts = [c.final_residual(x, xref) for c in self.costs]
+        return jnp.concatenate(parts) if parts else jnp.zeros((0,))
 
 
 def _sqrtm_psd(M: jax.Array) -> jax.Array:

@@ -460,6 +460,28 @@ class TranscribedOCP:
         v_t = jnp.concatenate([v_t, jnp.zeros((ng - v_t.shape[0],))])
         return jnp.where(is_term, v_t, v_s)
 
+    # ---------------- structural invariants ----------------
+    @property
+    def lti_structure(self) -> bool:
+        """True when the interval Jacobians J, K are constant in W: linear
+        dynamics (all defect schemes and fixed-step integrators compose
+        affinely) and dt pinned. Solvers hoist the linearization out of
+        their iteration loops then — the TPU analogue of the reference's
+        `new_structure=false` CSC pattern reuse (SURVEY.md §3.5), except the
+        *values* are constant too, not just the sparsity pattern."""
+        return (
+            bool(getattr(self.system, "is_linear", False))
+            and not self.grid.dt_is_variable
+        )
+
+    @property
+    def constant_hessian(self) -> bool:
+        """True when the cost Hessian blocks are constant in W: quadratic
+        cost composed with affine stage maps (LTI + fixed dt)."""
+        return self.lti_structure and bool(
+            getattr(self.cost, "quadratic", False)
+        )
+
     # ---------------- bounds & pins ----------------
     def w_bounds(self) -> Tuple[jax.Array, jax.Array]:
         """Absolute box bounds lb, ub [N+1, nz] (before pinning)."""

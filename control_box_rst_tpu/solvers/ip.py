@@ -213,24 +213,42 @@ def ip_solve(
             infeas += jnp.sum(jnp.abs(r - S))
         return f - mu * logs + nu * infeas, infeas
 
+    # hoist constant structure (LTI + fixed dt / quadratic cost) out of the
+    # Newton loop — same invariant as sqp_solve (SURVEY §3.5 analogue)
+    hoist_JK = ocp.lti_structure
+    hoist_H = ocp.constant_hessian
+
+    def _mask_H(Hd):
+        if cfg.psd_clamp or not getattr(ocp.cost, "convex", True):
+            Hd = _psd_clamp(Hd)
+        return Hd * free[:, None, :] * free[:, :, None]
+
+    if hoist_JK:
+        J_c, K_c, _ = ocp.interval_jacobians(W0)
+        Jm_c = J_c * free[:-1, None, :]
+        Km_c = K_c * free[1:, None, :]
+    if hoist_H:
+        Hm_c = _mask_H(ocp.cost_hessian_blocks(W0))
+
     def iteration(state):
         (W, S, y, yg, z_lw, z_uw, z_ls, z_us, mu, nu, it,
          stat0, feas0, comp0, done, diverged) = state
 
         # ---- linearize (exact AD, batched per stage) ----
-        J, K, c = ocp.interval_jacobians(W)
+        if hoist_JK:
+            Jm, Km = Jm_c, Km_c
+            c = ocp.interval_residuals(W)
+        else:
+            J, K, c = ocp.interval_jacobians(W)
+            Jm = J * free[:-1, None, :]
+            Km = K * free[1:, None, :]
         grad = ocp.cost_gradient(W)
-        Hd = ocp.cost_hessian_blocks(W)
-        if cfg.psd_clamp or not getattr(ocp.cost, "convex", True):
-            Hd = _psd_clamp(Hd)
+        Hm = Hm_c if hoist_H else _mask_H(ocp.cost_hessian_blocks(W))
         r, _, _ = ocp.general_rows(W)
         G = ocp.general_row_jacobians(W)
 
         # pin masking: zero columns/rows of fixed variables
-        Jm = J * free[:-1, None, :]
-        Km = K * free[1:, None, :]
         Gm = G * free[:, None, :]
-        Hm = Hd * free[:, None, :] * free[:, :, None]
         gm = grad * free
 
         # ---- primal-dual Σ terms (bound duals eliminated) ----

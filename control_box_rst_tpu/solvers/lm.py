@@ -59,13 +59,12 @@ class LMResult(NamedTuple):
 
 
 def _residual_dims(ocp: TranscribedOCP):
-    # probe the lsq residual length once (static)
-    import numpy as np
-
+    # probe the lsq residual lengths once (static): stage and terminal
     x = jnp.zeros((ocp.nx,))
     u = jnp.zeros((ocp.nu,))
     r = ocp.cost.stage_residual(x, u, jnp.zeros(()), x, u)
-    return int(r.shape[0])
+    rf = ocp.cost.final_residual(x, x)
+    return int(r.shape[0]), int(rf.shape[0])
 
 
 @f32_matmuls
@@ -78,7 +77,11 @@ def lm_solve(
     if cfg is None:
         cfg = LMConfig()
     N, nz, nx, nu, ng = ocp.N, ocp.nz, ocp.nx, ocp.nu, ocp.ng
-    n_lsq = _residual_dims(ocp)
+    n_lsq_stage, n_final = _residual_dims(ocp)
+    # stage and terminal blocks share the row layout; the lsq slot holds the
+    # stage residual on interval rows and the terminal-cost residual on the
+    # terminal row (padded to a common width)
+    n_lsq = max(n_lsq_stage, n_final)
 
     traj0 = ocp.apply_boundary(traj0)
     W0 = ocp.pack(traj0)
@@ -111,6 +114,9 @@ def lm_solve(
         # lsq objective residual (√-weighted quadrature: left-sum style)
         r_lsq = ocp.cost.stage_residual(x, u, dt, ocp.refs.xref[k], ocp.refs.uref[k])
         scale = jnp.sqrt(jnp.maximum(dt, 1e-12)) if ocp.cost.integral else 1.0
+        pad = n_lsq - r_lsq.shape[0]
+        if pad:
+            r_lsq = jnp.concatenate([r_lsq, jnp.zeros((pad,), dtype)])
         parts.append(m * scale * r_lsq)
         # equality: interval rows (defect + ties)
         c = ocp.interval_residual(k, w, w1)
@@ -125,7 +131,13 @@ def lm_solve(
         return jnp.concatenate(parts)
 
     def terminal_res(wN, w_ineq, w_b):
-        parts = [jnp.zeros((n_lsq,), dtype), jnp.zeros((ocp.nc,), dtype)]
+        # terminal-cost LSQ residual in the lsq slot (ref: the final-state
+        # cost edge contributes lsq rows, final_state_cost.h lsq mode)
+        rf = ocp.cost.final_residual(wN[:nx], ocp.refs.xref[-1])
+        pad = n_lsq - rf.shape[0]
+        if pad:
+            rf = jnp.concatenate([rf, jnp.zeros((pad,), dtype)])
+        parts = [rf, jnp.zeros((ocp.nc,), dtype)]
         if ng:
             v = ocp._rows_single(jnp.asarray(N), wN)
             parts.append(jnp.sqrt(w_ineq) * _gen_viol(N, v))
@@ -207,9 +219,22 @@ def lm_solve(
         stalled = (step_norm < cfg.tol_step) | (
             jnp.abs(chi2_prev - chi2_cur) < cfg.tol_chi2_rel * (1.0 + chi2_cur)
         )
-        # feasibility at the current iterate (unweighted)
+        # feasibility at the current iterate (unweighted): dynamics defects,
+        # box violations, and general-row violations — declaring convergence
+        # on defects alone lets the penalty weights stall while e.g. bound
+        # rows are still violated
         c = ocp.interval_residuals(W_next)
         feas = jnp.max(jnp.abs(c))
+        viol_box = (
+            jnp.maximum(0.0, lb - W_next) + jnp.maximum(0.0, W_next - ub)
+        ) * free
+        feas = jnp.maximum(feas, jnp.max(viol_box))
+        if ng:
+            ks_f = jnp.arange(N + 1)
+            vg = jax.vmap(lambda k, w: _gen_viol(k, ocp._rows_single(k, w)))(
+                ks_f, W_next
+            )
+            feas = jnp.maximum(feas, jnp.max(vg))
         feasible = feas < cfg.feas_tol
         # when stalled but infeasible: grow penalty weights and keep going
         # (the reference adapts weights between (re)solves,

@@ -143,27 +143,48 @@ def sqp_solve(
 
     alphas = 0.5 ** jnp.arange(cfg.ls_candidates, dtype=dtype)
 
+    # ---- hoist constant structure out of the iteration loop ----
+    # LTI + fixed dt: J, K are constant in W; quadratic cost: Hd constant.
+    # (ref analogue: `new_structure=false` CSC pattern reuse, SURVEY §3.5 —
+    # here the values are constant too, so the per-iteration relinearization
+    # and Hessian evaluation disappear entirely.)
+    hoist_JK = ocp.lti_structure
+    hoist_H = ocp.constant_hessian
+
+    def _mask_H(Hd):
+        if cfg.psd_clamp or not getattr(ocp.cost, "convex", True):
+            Hd = _psd_clamp(Hd)
+        if cfg.prox:
+            Hd = Hd + cfg.prox * jnp.eye(nz, dtype=dtype)[None]
+        return Hd * free[:, None, :] * free[:, :, None]
+
+    if hoist_JK:
+        J_c, K_c, _ = ocp.interval_jacobians(W0)
+        Jm_c = J_c * free[:-1, None, :]
+        Km_c = K_c * free[1:, None, :]
+    if hoist_H:
+        Hm_c = _mask_H(ocp.cost_hessian_blocks(W0))
+
     def iteration(state):
         (W0_it, y_dyn0_it, y_gen0_it, y_box0_it, nu, it, stat_res0, feas_res0,
          done, qp_tot) = state
         W, y_dyn, y_gen, y_box = W0_it, y_dyn0_it, y_gen0_it, y_box0_it
 
         # ---- linearize (exact AD, all stages batched) ----
-        J, K, c = ocp.interval_jacobians(W)
+        if hoist_JK:
+            Jm, Km = Jm_c, Km_c
+            c = ocp.interval_residuals(W)
+        else:
+            J, K, c = ocp.interval_jacobians(W)
+            Jm = J * free[:-1, None, :]
+            Km = K * free[1:, None, :]
         grad = ocp.cost_gradient(W)
-        Hd = ocp.cost_hessian_blocks(W)
-        if cfg.psd_clamp or not getattr(ocp.cost, "convex", True):
-            Hd = _psd_clamp(Hd)
-        if cfg.prox:
-            Hd = Hd + cfg.prox * jnp.eye(nz, dtype=dtype)[None]
+        Hm = Hm_c if hoist_H else _mask_H(ocp.cost_hessian_blocks(W))
         r, rl, ru = ocp.general_rows(W)
         G = ocp.general_row_jacobians(W)
 
         # ---- pin masking: zero columns of fixed variables ----
-        Jm = J * free[:-1, None, :]
-        Km = K * free[1:, None, :]
         Gm = G * free[:, None, :]
-        Hm = Hd * free[:, None, :] * free[:, :, None]
         gm = grad * free
 
         dlb = jnp.where(free > 0, lb - W, 0.0)

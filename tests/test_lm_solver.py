@@ -72,3 +72,40 @@ def test_lm_jit_and_vmap():
     chis = solve(jnp.stack([jnp.array([1.0, 0.0]), jnp.array([-0.5, 0.2])]))
     assert chis.shape == (2,)
     assert bool(jnp.all(jnp.isfinite(chis)))
+
+
+def test_lm_backed_predictive_controller():
+    """PredictiveController(solver='lm') (ref: PredictiveController paired
+    with LevenbergMarquardt*, nlp_solver_interface.h factory) drives the
+    double integrator to the origin in closed loop."""
+    import jax
+    from control_box_rst_tpu.control import PredictiveController
+    from control_box_rst_tpu.models.benchmark import DoubleIntegratorContinuous
+    from control_box_rst_tpu.ocp import (
+        Bounds, CompositeCost, QuadraticFinalStateCost, QuadraticFormCost,
+        finite_differences_grid, transcribe,
+    )
+    from control_box_rst_tpu.sim import SimulatedPlant, run_closed_loop
+    from control_box_rst_tpu.solvers import LMConfig
+
+    sys_ = DoubleIntegratorContinuous()
+    ocp = transcribe(
+        sys_, finite_differences_grid(15),
+        CompositeCost(costs=(
+            QuadraticFormCost(Q=jnp.eye(2), R=0.1 * jnp.eye(1), lsq_form=True),
+            QuadraticFinalStateCost(Qf=10.0 * jnp.eye(2)),
+        )),
+        bounds=Bounds.unbounded(2, 1).with_u(-1.0, 1.0),
+        x0=jnp.zeros(2),
+    )
+    ctrl = PredictiveController(
+        nx=2, nu=1, ocp=ocp, dt=0.1, solver="lm",
+        lm_cfg=LMConfig(max_iter=30), usable_feas_tol=1e-2,
+    )
+    plant = SimulatedPlant(system=sys_)
+    r = jax.jit(
+        lambda x: run_closed_loop(plant, ctrl, x, T_steps=100, dt=0.1)
+    )(jnp.array([1.0, 0.0]))
+    assert float(jnp.max(jnp.abs(r.x_true[-1]))) < 1e-3
+    # penalty method: bounds satisfied to penalty accuracy
+    assert float(jnp.max(jnp.abs(r.u))) <= 1.0 + 1e-4
