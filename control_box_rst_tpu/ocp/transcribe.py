@@ -50,6 +50,24 @@ from control_box_rst_tpu.ops.integrators import make_integrator
 from control_box_rst_tpu.utils.tree import pytree_dataclass, static_field
 
 
+def adjacent_rows(W: jax.Array):
+    """Materialize the (w_k, w_{k+1}) stage-pair views behind an XLA
+    optimization barrier before vmapping over them.
+
+    The axon TPU compiler MISCOMPILES the fused pattern
+    `vmap(f)(ks, W[:-1], W[1:])` when f's primal output mixes both rows:
+    residual VALUES silently blend the adjacent stage's control while the
+    Jacobians stay correct, so solvers converge on (and report feasibility
+    of) a corrupted constraint. Root-caused via tools/tpu_consistency_check
+    (lanes reporting feas ~1e-5 with true defect ~0.2); minimal repro:
+    double-integrator dynamics (slice+concat) under a crank_nicolson defect.
+    The barrier pins the two shifted views as materialized buffers, which
+    defeats the bad fusion on every case tested; it is AD-transparent, so
+    grad/linearize through this helper stay exact.
+    """
+    return jax.lax.optimization_barrier((W[:-1], W[1:]))
+
+
 @pytree_dataclass
 class TranscribedOCP:
     """A fully-specified, jittable stage NLP."""
@@ -129,6 +147,15 @@ class TranscribedOCP:
         return w[:nx], w[nx : nx + nu], w[nx + nu]
 
     # ---------------- defect ----------------
+    def _defect_needs_u1(self) -> bool:
+        """Static: does the defect scheme read the next stage's control?
+        Only the linear-control Hermite-Simpson scheme does."""
+        return (
+            self.grid.kind == "fd"
+            and self.grid.fd_scheme == "hermite_simpson_lc"
+            and self.system.continuous_time
+        )
+
     def _defect_fn(self):
         """Returns defect(x, u, x1, u1, dt) for the grid's scheme. u1 is the
         NEXT stage's control — only the linear-control Hermite-Simpson
@@ -165,10 +192,20 @@ class TranscribedOCP:
         x, u, dt = self.split_w(w, nx, nu)
         x1 = w1[:nx]
         m = self.stage_mask[k]
-        # next stage's control (linear-control HS only); the last interval
-        # falls back to the interval's own control — stage N carries a
-        # pinned dummy u
-        u1 = jnp.where(k < self.N - 1, w1[nx : nx + nu], u)
+        if self._defect_needs_u1():
+            # next stage's control (linear-control HS only); the last
+            # interval falls back to the interval's own control — stage N
+            # carries a pinned dummy u. NOTE: scalar-mask-multiply form, NOT
+            # jnp.where(pred, vec_a, vec_b): a vector select between the
+            # adjacent stage's slice and a local vector inside this vmapped
+            # body miscompiles on the axon TPU backend — it corrupted the
+            # defect evaluation even for schemes that ignore u1 (caught by
+            # the f64-oracle accuracy audit; same bug family as the
+            # interval_residuals slicing note below).
+            m1 = jnp.where(k < self.N - 1, 1.0, 0.0)
+            u1 = m1 * w1[nx : nx + nu] + (1.0 - m1) * u
+        else:
+            u1 = u  # unused by the scheme; never touch w1's control
         # guard: inactive intervals may carry dt = 0, and FD defects divide
         # by dt — evaluate them at a safe dt (result is masked out anyway;
         # without the guard, 0 · inf = NaN poisons the masked sum)
@@ -202,12 +239,13 @@ class TranscribedOCP:
         formulation avoids the pattern and is equivalent on all platforms."""
         nx, nu = self.nx, self.nu
         ks = jnp.arange(self.N)
-        Xk = W[:-1, :nx]
-        Uk = W[:-1, nx : nx + nu]
-        DTk = W[:-1, nx + nu]
-        Xk1 = W[1:, :nx]
-        Uk1 = W[1:, nx : nx + nu]
-        DTk1 = W[1:, nx + nu]
+        Wk, Wk1 = adjacent_rows(W)
+        Xk = Wk[:, :nx]
+        Uk = Wk[:, nx : nx + nu]
+        DTk = Wk[:, nx + nu]
+        Xk1 = Wk1[:, :nx]
+        Uk1 = Wk1[:, nx : nx + nu]
+        DTk1 = Wk1[:, nx + nu]
 
         def one(k, x, u, dt, x1, u1, dt1):
             w = jnp.concatenate([x, u, dt[None]])
@@ -240,7 +278,8 @@ class TranscribedOCP:
             return J.T, K.T, c
 
         ks = jnp.arange(self.N)
-        return jax.vmap(jac_one)(ks, W[:-1], W[1:])
+        Wk, Wk1 = adjacent_rows(W)  # axon miscompile workaround, see helper
+        return jax.vmap(jac_one)(ks, Wk, Wk1)
 
     # ---------------- cost ----------------
     def _stage_term(self, k, w, w1):
@@ -269,9 +308,10 @@ class TranscribedOCP:
                 x1 = w1[:nx]
                 xref1 = self.refs.xref[k + 1]
                 if self.grid.cost_integration == "hermite_simpson_lc":
-                    u1 = jnp.where(
-                        k < self.N - 1, w1[nx : nx + nu], u
-                    )
+                    # scalar-mask-multiply, not a vector select — see the
+                    # axon miscompilation note in interval_residual
+                    m1 = jnp.where(k < self.N - 1, 1.0, 0.0)
+                    u1 = m1 * w1[nx : nx + nu] + (1.0 - m1) * u
                 else:
                     u1 = u
                 um = 0.5 * (u + u1)
@@ -295,7 +335,8 @@ class TranscribedOCP:
 
     def objective_from_W(self, W: jax.Array) -> jax.Array:
         ks = jnp.arange(self.N)
-        stage_sum = jnp.sum(jax.vmap(self._stage_term)(ks, W[:-1], W[1:]))
+        Wk, Wk1 = adjacent_rows(W)  # axon miscompile workaround, see helper
+        stage_sum = jnp.sum(jax.vmap(self._stage_term)(ks, Wk, Wk1))
         final = self.cost.final(W[-1, : self.nx], self.refs.xref[-1])
         return stage_sum + final
 
@@ -338,8 +379,9 @@ class TranscribedOCP:
 
         ks = jnp.arange(N + 1)
         pad = jnp.zeros_like(W[:1])
-        W_prev = jnp.concatenate([pad, W[:-1]], axis=0)
-        W_next = jnp.concatenate([W[1:], pad], axis=0)
+        Wk, Wk1 = adjacent_rows(W)  # axon miscompile workaround, see helper
+        W_prev = jnp.concatenate([pad, Wk], axis=0)
+        W_next = jnp.concatenate([Wk1, pad], axis=0)
 
         def hess_one(k, v, wp, wn):
             return jax.hessian(lambda vv: phi(k, vv, wp, wn))(v)
@@ -410,7 +452,8 @@ class TranscribedOCP:
             return out_v, out_l, out_h
 
         ks = jnp.arange(N)
-        sv, sl, sh = jax.vmap(stage_rows)(ks, W[:-1])
+        Wk, _ = adjacent_rows(W)  # axon miscompile workaround, see helper
+        sv, sl, sh = jax.vmap(stage_rows)(ks, Wk)
         tv, tl, th = term_rows(W[-1])
         r = jnp.concatenate([sv, tv[None]], axis=0)
         rl = jnp.concatenate([sl, tl[None]], axis=0)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from control_box_rst_tpu.core.types import SolverStatus
 from control_box_rst_tpu.ocp.problem import Trajectory
-from control_box_rst_tpu.ocp.transcribe import TranscribedOCP
+from control_box_rst_tpu.ocp.transcribe import TranscribedOCP, adjacent_rows
 from control_box_rst_tpu.ops.btridiag import btridiag_cholesky, btridiag_solve
 from control_box_rst_tpu.utils.tree import pytree_dataclass, static_field
 from control_box_rst_tpu.utils.precision import f32_matmuls
@@ -147,9 +147,10 @@ def lm_solve(
 
     def all_residuals(W, w_eq, w_ineq, w_b):
         ks = jnp.arange(N)
+        Wk, Wk1 = adjacent_rows(W)  # axon miscompile workaround
         r_int = jax.vmap(
             lambda k, w, w1: interval_res(k, w, w1, w_eq, w_ineq, w_b)
-        )(ks, W[:-1], W[1:])
+        )(ks, Wk, Wk1)
         r_term = terminal_res(W[-1], w_ineq, w_b)
         return r_int, r_term  # [N, nr], [nr]
 
@@ -169,7 +170,8 @@ def lm_solve(
             )(w, w1)
             return r, Jk * free[k][None, :], Kk * free[k + 1][None, :]
 
-        r_int, J, K = jax.vmap(blocks)(ks, W[:-1], W[1:])
+        Wk, Wk1 = adjacent_rows(W)  # axon miscompile workaround
+        r_int, J, K = jax.vmap(blocks)(ks, Wk, Wk1)
         r_term = terminal_res(W[-1], w_ineq, w_b)
         J_term = jax.jacfwd(lambda w: terminal_res(w, w_ineq, w_b))(W[-1])
         J_term = J_term * free[N][None, :]

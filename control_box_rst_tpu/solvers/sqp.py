@@ -171,6 +171,8 @@ def sqp_solve(
         W, y_dyn, y_gen, y_box = W0_it, y_dyn0_it, y_gen0_it, y_box0_it
 
         # ---- linearize (exact AD, all stages batched) ----
+        # (the axon adjacent-row miscompilation is handled at the source:
+        # ocp.transcribe.adjacent_rows barriers every stage-pair vmap)
         if hoist_JK:
             Jm, Km = Jm_c, Km_c
             c = ocp.interval_residuals(W)
