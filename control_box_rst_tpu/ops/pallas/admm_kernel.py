@@ -49,40 +49,28 @@ def _tri(i, j):
     return i * (i + 1) // 2 + j
 
 
-def _kernel(
-    Hd_ref, J_ref, K_ref, g_ref, c_ref, dlb_ref, dub_ref, rho_ref,
-    x0_ref, zb0_ref, yd0_ref, yb0_ref,
-    # outputs
-    x_ref, zb_ref, yd_ref, yb_ref, pr_ref, dr_ref,
-    # scratch
+def _round_ops(
+    Hd_ref, J_ref, K_ref, g_ref, c_ref, dlb_ref, dub_ref,
+    x_ref, zb_ref, yd_ref, yb_ref,
     Ld_ref, Lo_ref, xt_ref,
+    rho,
     *, nz: int, nc: int, Kst: int, iters: int,
     sigma: float, alpha: float, rho_eq_scale: float,
 ):
-    """One ρ-round: assemble M, factor, run `iters` ADMM iterations.
+    """One ρ-round on VMEM-resident state: assemble M for the given per-lane
+    ρ tile, factor, run `iters` ADMM iterations in place, return (pr, dr).
 
     Shapes (leading dims; every entry is an [SUB, LANE] tile):
       Hd [Kst, nz, nz]   J,K [Kst-1, nc, nz]   g [Kst, nz]   c [Kst-1, nc]
-      dlb/dub [Kst, nz]  rho [1]   states x/zb/yb [Kst, nz], yd [Kst-1, nc]
+      dlb/dub [Kst, nz]  rho [SUB, LANE]  states x/zb/yb [Kst, nz], yd [N, nc]
       Ld [Kst, nz(nz+1)/2] packed   Lo [Kst-1, nz, nz]   xt [Kst, nz]
     """
     N = Kst - 1
-    rho = rho_ref[...]  # [SUB, LANE] per-lane rho tile
     rho_eq = rho * rho_eq_scale
 
     def rho_box(k, i):
         # per-row ρ: equality-like box rows (pins: dlb == dub) get ρ_eq
         return jnp.where(dlb_ref[k, i] == dub_ref[k, i], rho_eq, rho)
-
-    # ---- initialize state from inputs ----
-    for k in range(Kst):
-        for i in range(nz):
-            x_ref[k, i] = x0_ref[k, i]
-            zb_ref[k, i] = zb0_ref[k, i]
-            yb_ref[k, i] = yb0_ref[k, i]
-    for k in range(N):
-        for r in range(nc):
-            yd_ref[k, r] = yd0_ref[k, r]
 
     # ---- assemble + factor M = LLᵀ (stage-by-stage, D_k built on the fly) --
     def assemble_D(k):
@@ -280,8 +268,100 @@ def _kernel(
                 v_b + yb_ref[k, i] / rb, dlb_ref[k, i], dub_ref[k, i]
             )
             dr = jnp.maximum(dr, jnp.abs(rb * (z_new - zb_ref[k, i])))
+    return pr, dr
+
+
+def _init_state(
+    x0_ref, zb0_ref, yd0_ref, yb0_ref,
+    x_ref, zb_ref, yd_ref, yb_ref,
+    *, nz: int, nc: int, Kst: int,
+):
+    """Copy warm-start inputs into the in-place state refs."""
+    for k in range(Kst):
+        for i in range(nz):
+            x_ref[k, i] = x0_ref[k, i]
+            zb_ref[k, i] = zb0_ref[k, i]
+            yb_ref[k, i] = yb0_ref[k, i]
+    for k in range(Kst - 1):
+        for r in range(nc):
+            yd_ref[k, r] = yd0_ref[k, r]
+
+
+def _kernel(
+    Hd_ref, J_ref, K_ref, g_ref, c_ref, dlb_ref, dub_ref, rho_ref,
+    x0_ref, zb0_ref, yd0_ref, yb0_ref,
+    # outputs
+    x_ref, zb_ref, yd_ref, yb_ref, pr_ref, dr_ref,
+    # scratch
+    Ld_ref, Lo_ref, xt_ref,
+    *, nz: int, nc: int, Kst: int, iters: int,
+    sigma: float, alpha: float, rho_eq_scale: float,
+):
+    """One ρ-round: assemble M, factor, run `iters` ADMM iterations.
+    ρ adaptation between rounds lives OUTSIDE (solvers/stage_qp.py)."""
+    _init_state(
+        x0_ref, zb0_ref, yd0_ref, yb0_ref, x_ref, zb_ref, yd_ref, yb_ref,
+        nz=nz, nc=nc, Kst=Kst,
+    )
+    pr, dr = _round_ops(
+        Hd_ref, J_ref, K_ref, g_ref, c_ref, dlb_ref, dub_ref,
+        x_ref, zb_ref, yd_ref, yb_ref, Ld_ref, Lo_ref, xt_ref,
+        rho_ref[...],
+        nz=nz, nc=nc, Kst=Kst, iters=iters,
+        sigma=sigma, alpha=alpha, rho_eq_scale=rho_eq_scale,
+    )
     pr_ref[0] = pr
     dr_ref[0] = dr
+
+
+def _solve_kernel(
+    Hd_ref, J_ref, K_ref, g_ref, c_ref, dlb_ref, dub_ref, rho0_ref,
+    x0_ref, zb0_ref, yd0_ref, yb0_ref,
+    # outputs
+    x_ref, zb_ref, yd_ref, yb_ref, pr_ref, dr_ref, it_ref,
+    # scratch
+    Ld_ref, Lo_ref, xt_ref,
+    *, nz: int, nc: int, Kst: int, n_rounds: int, iters: int, tol: float,
+    sigma: float, alpha: float, rho_eq_scale: float,
+    rho_min: float, rho_max: float,
+):
+    """FULL box-QP solve in one kernel: up to `n_rounds` ρ-adaptation rounds
+    (assemble → block-tridiag factor → `iters` ADMM iterations → per-lane
+    OSQP §5.2 ρ rescale), with early exit once every lane's primal AND dual
+    residuals are below `tol`. The ADMM/ρ semantics match solve_stage_qp's
+    XLA rounds loop exactly; only the launch/relayout cost per round (the
+    dominant fixed cost at small batch) is eliminated."""
+    _init_state(
+        x0_ref, zb0_ref, yd0_ref, yb0_ref, x_ref, zb_ref, yd_ref, yb_ref,
+        nz=nz, nc=nc, Kst=Kst,
+    )
+
+    def do_round(carry):
+        _, rho, it = carry
+        pr, dr = _round_ops(
+            Hd_ref, J_ref, K_ref, g_ref, c_ref, dlb_ref, dub_ref,
+            x_ref, zb_ref, yd_ref, yb_ref, Ld_ref, Lo_ref, xt_ref,
+            rho,
+            nz=nz, nc=nc, Kst=Kst, iters=iters,
+            sigma=sigma, alpha=alpha, rho_eq_scale=rho_eq_scale,
+        )
+        conv = (pr < tol) & (dr < tol)
+        scale = jnp.sqrt(pr / jnp.maximum(dr, 1e-30))
+        rho_new = jnp.clip(
+            rho * jnp.clip(scale, 0.1, 10.0), rho_min, rho_max
+        )
+        rho_next = jnp.where(conv, rho, rho_new)
+        pr_ref[0] = pr
+        dr_ref[0] = dr
+        return jnp.all(conv), rho_next, it + jnp.float32(iters)
+
+    def round_body(_, carry):
+        done = carry[0]
+        return jax.lax.cond(done, lambda c: c, do_round, carry)
+
+    init = (jnp.asarray(False), rho0_ref[...], jnp.float32(0.0))
+    done, rho, it = jax.lax.fori_loop(0, n_rounds, round_body, init)
+    it_ref[0] = jnp.broadcast_to(it, (SUB, LANE))
 
 
 def _to_tiles(a, B):
@@ -293,6 +373,122 @@ def _to_tiles(a, B):
 def _from_tiles(a, B):
     out = a.reshape(a.shape[:-2] + (B,))
     return jnp.moveaxis(out, -1, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_rounds", "iters", "tol", "sigma", "alpha", "rho_eq_scale",
+        "rho_min", "rho_max", "interpret",
+    ),
+)
+def boxqp_solve_pallas(
+    Hd, J, K, g, c, dlb, dub, rho,
+    x, z_b, y_d, y_b,
+    n_rounds: int,
+    iters: int,
+    tol: float,
+    sigma: float,
+    alpha: float,
+    rho_eq_scale: float,
+    rho_min: float,
+    rho_max: float,
+    interpret: bool = False,
+):
+    """FULL box-QP ADMM solve (all ρ rounds) in one pallas_call per 1024-lane
+    chunk. Same argument layout as admm_round_pallas; additionally returns a
+    per-lane iteration count. B is padded to a multiple of 1024 internally —
+    padded lanes get a trivially feasible QP so they converge on round 1 and
+    never hold the early-exit back."""
+    B, Kst, nz, _ = Hd.shape
+    N, nc = J.shape[1], J.shape[2]
+    pad = (-B) % TILE_B
+    if pad:
+        def padb(a, identity=False):
+            shape = (pad,) + a.shape[1:]
+            if identity:
+                extra = jnp.broadcast_to(jnp.eye(nz, dtype=a.dtype), shape)
+            else:
+                extra = jnp.zeros(shape, a.dtype)
+            return jnp.concatenate([a, extra], axis=0)
+
+        Hd = padb(Hd, identity=True)
+        J, K, g, c, x, z_b, y_d, y_b = map(padb, (J, K, g, c, x, z_b, y_d, y_b))
+        dlb = jnp.concatenate(
+            [dlb, jnp.full((pad,) + dlb.shape[1:], -1.0, dlb.dtype)], axis=0
+        )
+        dub = jnp.concatenate(
+            [dub, jnp.full((pad,) + dub.shape[1:], 1.0, dub.dtype)], axis=0
+        )
+        rho = jnp.concatenate([rho, jnp.ones((pad,), rho.dtype)], axis=0)
+    Bp = B + pad
+    n_sub = TILE_B // LANE
+
+    if Bp > TILE_B:
+        n_chunks = Bp // TILE_B
+        chunked = jax.tree.map(
+            lambda a: a.reshape((n_chunks, TILE_B) + a.shape[1:]),
+            (Hd, J, K, g, c, dlb, dub, rho, x, z_b, y_d, y_b),
+        )
+        outs = jax.lax.map(
+            lambda ch: boxqp_solve_pallas(
+                *ch, n_rounds=n_rounds, iters=iters, tol=tol, sigma=sigma,
+                alpha=alpha, rho_eq_scale=rho_eq_scale,
+                rho_min=rho_min, rho_max=rho_max, interpret=interpret,
+            ),
+            chunked,
+        )
+        merged = jax.tree.map(
+            lambda a: a.reshape((Bp,) + a.shape[2:]), outs
+        )
+        return jax.tree.map(lambda a: a[:B], merged)
+
+    tiles = lambda a: _to_tiles(a, Bp)
+    args = tuple(map(tiles, (Hd, J, K, g, c, dlb, dub, rho, x, z_b, y_d, y_b)))
+
+    def spec_for(shape):
+        lead = shape[:-2]
+        zeros = (0,) * len(lead)
+        return pl.BlockSpec(
+            lead + (n_sub, LANE),
+            lambda i, z=zeros: z + (i, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid = (Bp // TILE_B,)
+    out_shape = (
+        jax.ShapeDtypeStruct((Kst, nz, Bp // LANE, LANE), Hd.dtype),      # x
+        jax.ShapeDtypeStruct((Kst, nz, Bp // LANE, LANE), Hd.dtype),      # z_b
+        jax.ShapeDtypeStruct((N, nc, Bp // LANE, LANE), Hd.dtype),        # y_d
+        jax.ShapeDtypeStruct((Kst, nz, Bp // LANE, LANE), Hd.dtype),      # y_b
+        jax.ShapeDtypeStruct((1, Bp // LANE, LANE), Hd.dtype),            # pr
+        jax.ShapeDtypeStruct((1, Bp // LANE, LANE), Hd.dtype),            # dr
+        jax.ShapeDtypeStruct((1, Bp // LANE, LANE), Hd.dtype),            # it
+    )
+    kernel = functools.partial(
+        _solve_kernel, nz=nz, nc=nc, Kst=Kst, n_rounds=n_rounds, iters=iters,
+        tol=tol, sigma=sigma, alpha=alpha, rho_eq_scale=rho_eq_scale,
+        rho_min=rho_min, rho_max=rho_max,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_for(a.shape) for a in args],
+        out_specs=tuple(spec_for(s.shape) for s in out_shape),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((Kst, nz * (nz + 1) // 2, n_sub, LANE), Hd.dtype),  # Ld
+            pltpu.VMEM((N, nz, nz, n_sub, LANE), Hd.dtype),                # Lo
+            pltpu.VMEM((Kst, nz, n_sub, LANE), Hd.dtype),                  # xt
+        ],
+        interpret=interpret,
+    )(*args)
+    x_o, zb_o, yd_o, yb_o, pr_o, dr_o, it_o = outs
+    untile = lambda a: _from_tiles(a, Bp)[:B]
+    return (
+        untile(x_o), untile(zb_o), untile(yd_o), untile(yb_o),
+        untile(pr_o)[:, 0], untile(dr_o)[:, 0], untile(it_o)[:, 0],
+    )
 
 
 @functools.partial(

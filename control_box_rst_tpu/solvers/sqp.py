@@ -165,6 +165,57 @@ def sqp_solve(
     if hoist_H:
         Hm_c = _mask_H(ocp.cost_hessian_blocks(W0))
 
+    # ---- one-shot LTI path (single fused kernel launch per solve) ----
+    # LTI dynamics + constant quadratic Hessian + box-only constraints make
+    # the NLP itself a convex QP: the first linearization is exact, the QP
+    # minimizer IS the NLP minimizer (full Newton step, no line search, no
+    # outer loop). The fused Pallas kernel then runs the ENTIRE solve —
+    # every ρ-adaptation round — in one launch (ops/pallas/admm_kernel.py:
+    # _solve_kernel), instead of one launch per round per SQP iteration.
+    one_shot = (
+        hoist_JK and hoist_H and ng == 0
+        and cfg.qp.backend == "fused" and dtype == jnp.float32
+    )
+    if one_shot:
+        c0 = ocp.interval_residuals(W0)
+        gm = ocp.cost_gradient(W0) * free
+        qp = StageQP(
+            Hd=Hm_c, g=gm, J=Jm_c, K=Km_c, c=c0,
+            G=jnp.zeros((N + 1, 0, nz), dtype),
+            gl=jnp.zeros((N + 1, 0), dtype), gu=jnp.zeros((N + 1, 0), dtype),
+            dlb=jnp.where(free > 0, lb - W0, 0.0),
+            dub=jnp.where(free > 0, ub - W0, 0.0),
+        )
+        sol = solve_stage_qp(
+            qp, cfg.qp,
+            warm=QPWarmStart(
+                delta=jnp.zeros_like(W0), y_dyn=y_dyn0, y_gen=y_gen0,
+                y_box=y_box0,
+            ),
+        )
+        W = W0 + sol.delta * free
+        # exact KKT residuals of the NLP at the solution
+        gm1 = ocp.cost_gradient(W) * free
+        grad_lag = gm1.at[:-1].add(jnp.einsum("kri,kr->ki", Jm_c, sol.y_dyn))
+        grad_lag = grad_lag.at[1:].add(jnp.einsum("kri,kr->ki", Km_c, sol.y_dyn))
+        grad_lag = grad_lag + sol.y_box * free
+        stat = jnp.max(jnp.abs(grad_lag * free))
+        feas = jnp.max(jnp.abs(ocp.interval_residuals(W)))
+        converged = (stat < tol_stat) & (feas < tol_feas)
+        status = jnp.where(
+            converged,
+            jnp.asarray(int(SolverStatus.CONVERGED), jnp.int32),
+            jnp.asarray(int(SolverStatus.EARLY_TERMINATED), jnp.int32),
+        )
+        return SQPResult(
+            traj=ocp.unpack(W), W=W,
+            y_dyn=sol.y_dyn, y_gen=y_gen0, y_box=sol.y_box,
+            iterations=jnp.asarray(1, jnp.int32),
+            objective=ocp.objective_from_W(W),
+            stat_res=stat, feas_res=feas, status=status,
+            qp_iters=sol.iters,
+        )
+
     def iteration(state):
         (W0_it, y_dyn0_it, y_gen0_it, y_box0_it, nu, it, stat_res0, feas_res0,
          done, qp_tot) = state

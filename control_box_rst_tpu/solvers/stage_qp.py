@@ -134,18 +134,12 @@ def _assemble_M(qp: StageQP, cfg: QPConfig, rho_eq, rho_gen, rho_box):
     return D, O
 
 
-def _make_fused_round(cfg: QPConfig, iters: int, tol):
-    """custom_vmap wrapper: per-lane reference implementation + a batched
-    rule that dispatches the whole batch to the fused Pallas kernel (or, for
-    small batches where the kernel's 1024-lane tile would be mostly padding,
-    the vmapped reference)."""
-    from control_box_rst_tpu.ops.pallas.admm_kernel import admm_round_pallas
-
+def _round_reference_fn(cfg: QPConfig, iters: int):
+    """Unbatched single-ρ-round implementation matching the Pallas kernel
+    exactly (z_d ≡ -c eliminated; pr/dr computed once on the final iterate)."""
     sigma, alpha, res = cfg.sigma, cfg.alpha, cfg.rho_eq_scale
 
     def _reference(Hd, J, K, g, c, dlb, dub, rho, x, z_b, y_d, y_b):
-        # reference (unbatched) implementation — matches the kernel exactly:
-        # z_d ≡ -c eliminated, pr/dr computed once on the final iterate
         dtype = g.dtype
         Np1, nz = g.shape
         box_is_eq = dlb == dub
@@ -198,6 +192,19 @@ def _make_fused_round(cfg: QPConfig, iters: int, tol):
         dr = jnp.max(jnp.abs(rho_box * (z_new - z_b)))
         return x, z_b, y_d, y_b, pr, dr
 
+    return _reference
+
+
+def _make_fused_round(cfg: QPConfig, iters: int, tol):
+    """custom_vmap wrapper: per-lane reference implementation + a batched
+    rule that dispatches the whole batch to the fused Pallas kernel (or, for
+    small batches where the kernel's 1024-lane tile would be mostly padding,
+    the vmapped reference)."""
+    from control_box_rst_tpu.ops.pallas.admm_kernel import admm_round_pallas
+
+    sigma, alpha, res = cfg.sigma, cfg.alpha, cfg.rho_eq_scale
+    _reference = _round_reference_fn(cfg, iters)
+
     fused_round = jax.custom_batching.custom_vmap(_reference)
 
     @fused_round.def_vmap
@@ -225,6 +232,79 @@ def _make_fused_round(cfg: QPConfig, iters: int, tol):
         return outs, tuple(True for _ in outs)
 
     return fused_round
+
+
+def _make_fused_solve(cfg: QPConfig, max_iter: int, tol):
+    """custom_vmap wrapper for the FULL box-QP solve: every ρ-adaptation
+    round — assemble, block-tridiagonal factor, `iters_per_round` ADMM
+    iterations, per-lane ρ rescale, early exit — runs inside ONE Pallas
+    kernel launch (ops/pallas/admm_kernel.py:_solve_kernel). The per-lane
+    reference below is the identical rounds loop in XLA ops; it serves as
+    the unbatched/small-batch/non-TPU fallback and the kernel's oracle
+    (tests/test_admm_pallas.py)."""
+    from control_box_rst_tpu.ops.pallas.admm_kernel import boxqp_solve_pallas
+
+    iters = cfg.iters_per_round
+    n_rounds = max(1, -(-max_iter // iters))
+    round_ref = _round_reference_fn(cfg, iters)
+
+    def _reference(Hd, J, K, g, c, dlb, dub, rho, x, z_b, y_d, y_b):
+        dtype = g.dtype
+        big = jnp.asarray(jnp.inf, dtype)
+
+        def body(state):
+            x, z_b, y_d, y_b, rho, rnd, it, pr, dr = state
+            x, z_b, y_d, y_b, pr, dr = round_ref(
+                Hd, J, K, g, c, dlb, dub, rho, x, z_b, y_d, y_b
+            )
+            scale = jnp.sqrt(pr / jnp.maximum(dr, 1e-30))
+            rho_new = jnp.clip(
+                rho * jnp.clip(scale, 0.1, 10.0), cfg.rho_min, cfg.rho_max
+            )
+            converged = (pr < tol) & (dr < tol)
+            rho_new = jnp.where(converged, rho, rho_new)
+            return (
+                x, z_b, y_d, y_b, rho_new, rnd + 1, it + jnp.float32(iters),
+                pr, dr,
+            )
+
+        def cond(state):
+            rnd, pr, dr = state[5], state[7], state[8]
+            return (rnd < n_rounds) & ((pr > tol) | (dr > tol))
+
+        init = (
+            x, z_b, y_d, y_b, rho,
+            jnp.asarray(0, jnp.int32), jnp.float32(0.0), big, big,
+        )
+        x, z_b, y_d, y_b, rho, rnd, it, pr, dr = jax.lax.while_loop(
+            cond, body, init
+        )
+        return x, z_b, y_d, y_b, pr, dr, it
+
+    fused_solve = jax.custom_batching.custom_vmap(_reference)
+
+    @fused_solve.def_vmap
+    def _rule(axis_size, in_batched, Hd, J, K, g, c, dlb, dub, rho,
+              x, z_b, y_d, y_b):
+        def bc(a, batched):
+            return a if batched else jnp.broadcast_to(
+                a[None], (axis_size,) + a.shape
+            )
+        args = [bc(a, b) for a, b in zip(
+            (Hd, J, K, g, c, dlb, dub, rho, x, z_b, y_d, y_b), in_batched
+        )]
+        # single-solve latency through the kernel beats the XLA while_loop
+        # even at 1/1024 tile occupancy (one launch vs hundreds of small
+        # ops), so the kernel engages for EVERY batch size on TPU
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        outs = boxqp_solve_pallas(
+            *args, n_rounds=n_rounds, iters=iters, tol=float(tol),
+            sigma=cfg.sigma, alpha=cfg.alpha, rho_eq_scale=cfg.rho_eq_scale,
+            rho_min=cfg.rho_min, rho_max=cfg.rho_max, interpret=interpret,
+        )
+        return outs, tuple(True for _ in outs)
+
+    return fused_solve, _reference
 
 
 def solve_stage_qp(
@@ -289,41 +369,14 @@ def solve_stage_qp(
 
     use_fused = cfg.backend == "fused" and ng == 0 and dtype == jnp.float32
     if use_fused:
-        fused_round = _make_fused_round(cfg, cfg.iters_per_round, tol)
-
-        def round_body(state):
-            x, z_d, z_g, z_b, y_d, y_g, y_b, rho, rnd, it, pr, dr = state
-            x, z_b, y_d, y_b, pr, dr = fused_round(
-                qp.Hd, qp.J, qp.K, qp.g, qp.c, qp.dlb, qp.dub, rho,
-                x, z_b, y_d, y_b,
-            )
-            scale = jnp.sqrt(pr / jnp.maximum(dr, 1e-30))
-            rho_new = jnp.clip(
-                rho * jnp.clip(scale, 0.1, 10.0), cfg.rho_min, cfg.rho_max
-            )
-            converged = (pr < tol) & (dr < tol)
-            rho_new = jnp.where(converged, rho, rho_new)
-            it = it + jnp.asarray(cfg.iters_per_round, jnp.int32)
-            # z_d ≡ -c (equality rows) — keep the carried value in sync
-            return (
-                x, -qp.c, z_g, z_b, y_d, y_g, y_b, rho_new, rnd + 1, it, pr, dr
-            )
-
-        init = (
-            x, z_d, z_g, z_b, y_d, y_g, y_b,
-            jnp.asarray(cfg.rho, dtype),
-            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), big, big,
+        fused_solve, _ = _make_fused_solve(cfg, max_iter, tol)
+        x, z_b, y_d, y_b, pr, dr, it = fused_solve(
+            qp.Hd, qp.J, qp.K, qp.g, qp.c, qp.dlb, qp.dub,
+            jnp.asarray(cfg.rho, dtype), x, z_b, y_d, y_b,
         )
-
-        def cond(state):
-            rnd, pr, dr = state[8], state[10], state[11]
-            return (rnd < n_rounds) & ((pr > tol) | (dr > tol))
-
-        out = jax.lax.while_loop(cond, round_body, init)
-        x, z_d, z_g, z_b, y_d, y_g, y_b, rho, rnd, it, pr, dr = out
         return QPSolution(
-            delta=x, y_dyn=y_d, y_gen=y_g, y_box=y_b, iters=it,
-            prim_res=pr, dual_res=dr,
+            delta=x, y_dyn=y_d, y_gen=y_g, y_box=y_b,
+            iters=it.astype(jnp.int32), prim_res=pr, dual_res=dr,
         )
 
     def round_body(state):
