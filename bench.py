@@ -2,17 +2,28 @@
 
 Prints ONE JSON line:
   {"metric": "h50_sqp_solves_per_s_per_chip", "value": N, "unit": "solves/s",
-   "vs_baseline": N / 1000}
+   "vs_baseline": N / 1000, ...}
 
 Baseline target (BASELINE.json): ≥ 1000 H=50 SQP solves/s/chip on config 1
-(double integrator, quadratic cost, input bounds, SQP+ADMM).
-Each "solve" is a full cold-start SQP solve (linear-interp init, no warm
-start): linearize → block-tridiagonal ADMM QP → line search, iterated to
-convergence (max 6 SQP iterations — 2 suffice on this problem class).
+(double integrator, quadratic cost, input bounds, SQP+ADMM), with
+control-sequence max error < 1e-3 vs the reference solution.
+
+QUALITY GATE (round-4 addition, after the round-3 regression shipped a
+throughput number with converged_frac = 0.002): the batch is additionally
+checked against a float64 CPU oracle (tools/oracle_solve.py — XLA backend,
+tight tolerances) on a subsample. If converged_frac < 0.99 or the max
+control error vs the oracle exceeds 1e-3, a loud FAIL line goes to stderr
+and the JSON carries "quality_ok": false. Throughput of wrong answers is
+not a result. (Ref contract: solver status semantics,
+nlp_solver_interface.h:67-116; OSQP solve-to-tolerance,
+qp_solver_osqp.cpp:179.)
 """
 from __future__ import annotations
 
 import json
+import pathlib
+import subprocess
+import sys
 import time
 
 import jax
@@ -22,6 +33,31 @@ import numpy as np
 # full f32 matmul precision: the solver does small-matrix algebra where
 # bf16 MXU default precision is insufficient
 jax.config.update("jax_default_matmul_precision", "highest")
+
+ROOT = pathlib.Path(__file__).resolve().parent
+
+CONV_GATE = 0.99
+ERR_GATE = 1e-3
+ORACLE_SUB = 64  # oracle subsample size (f64 CPU solves are slow)
+
+
+def _oracle_errors(x0s_np: np.ndarray, U: np.ndarray) -> float:
+    """Max |U - U_oracle| over an f64-CPU-oracle subsample (subprocess:
+    the oracle needs x64 + the CPU backend, which cannot coexist with the
+    TPU-f32 config in one process)."""
+    sub = x0s_np[:ORACLE_SUB]
+    in_p, out_p = "/tmp/bench_oracle_in.npz", "/tmp/bench_oracle_out.npz"
+    np.savez(in_p, x0s=sub)
+    try:
+        subprocess.run(
+            [sys.executable, str(ROOT / "tools" / "oracle_solve.py"), in_p, out_p],
+            check=True, capture_output=True, timeout=1200,
+        )
+    except Exception as e:  # oracle failure must not mask the bench
+        print(f"BENCH WARNING: oracle solve failed ({e!r})", file=sys.stderr)
+        return float("nan")
+    U_oracle = np.load(out_p)["U"]
+    return float(np.max(np.abs(np.asarray(U[:ORACLE_SUB], np.float64) - U_oracle)))
 
 
 def main():
@@ -33,9 +69,8 @@ def main():
 
     B = 1024
     rng = np.random.default_rng(0)
-    x0s = jnp.asarray(
-        rng.uniform(-1.0, 1.0, size=(B, 2)).astype(np.float32)
-    )
+    x0s_np = rng.uniform(-1.0, 1.0, size=(B, 2)).astype(np.float32)
+    x0s = jnp.asarray(x0s_np)
 
     # warm-up / compile
     U, obj, status, iters = solver(x0s)
@@ -50,6 +85,18 @@ def main():
 
     solves_per_s = B * reps / dt_total
     conv = float(jnp.mean((status == 1).astype(jnp.float32)))
+    max_u_err = _oracle_errors(x0s_np, np.asarray(U))
+
+    quality_ok = conv >= CONV_GATE and (
+        np.isnan(max_u_err) or max_u_err <= ERR_GATE
+    )
+    if not quality_ok:
+        print(
+            f"BENCH FAIL: quality gate violated — converged_frac={conv:.4f} "
+            f"(gate ≥{CONV_GATE}), max_u_err={max_u_err:.3e} (gate ≤{ERR_GATE}). "
+            f"The throughput number below is NOT a valid result.",
+            file=sys.stderr,
+        )
 
     # single-solve p99 latency (real-time MPC stepping): block cyclic
     # reduction linear solver — log-depth, ~6x lower latency at B=1
@@ -76,6 +123,10 @@ def main():
         "vs_baseline": round(solves_per_s / 1000.0, 3),
         "batch": B,
         "converged_frac": round(conv, 4),
+        "max_u_err_vs_f64_oracle": (
+            None if np.isnan(max_u_err) else round(max_u_err, 8)
+        ),
+        "quality_ok": bool(quality_ok),
         "mean_sqp_iters": round(float(jnp.mean(iters.astype(jnp.float32))), 2),
         "p99_single_solve_ms": round(p99_ms, 2),
         "device": str(jax.devices()[0]),

@@ -36,6 +36,9 @@ class MPCCarry(NamedTuple):
     y_box: jax.Array   # [N+1, nz]
     u_prev: jax.Array  # [nu] last applied control (ref: caches u_prev)
     n_active: jax.Array  # active interval count (grid adaptation)
+    feas_prev: jax.Array = 0.0  # previous solve's constraint violation
+    # (feeds GrowOnInfeasibility — ref `_increase_n_if_infeas`,
+    # structured_optimal_control_problem.cpp:135-140)
 
 
 def shift_warm_start(W: jax.Array, nx: int) -> jax.Array:
@@ -76,6 +79,9 @@ class PredictiveController(Controller):
     lm_cfg: LMConfig = static_field(default=None)
     num_ocp_iterations: int = static_field(default=1)
     warm_start_shift: bool = static_field(default=True)
+    # initial active horizon (0 → full grid N); use together with a
+    # GrowOnInfeasibility adaptation to start short and grow as needed
+    n_active_init: int = static_field(default=0)
     # grid adaptation strategy (ref: FiniteDifferencesVariableGrid::adaptGrid)
     adaptation: object = None
     # a solve is usable (ok=True) when its constraint violation is below
@@ -123,7 +129,8 @@ class PredictiveController(Controller):
             y_gen=jnp.zeros((N + 1, ng), dtype),
             y_box=jnp.zeros((N + 1, nz), dtype),
             u_prev=jnp.zeros((ocp.nu,), dtype),
-            n_active=jnp.asarray(N, jnp.int32),
+            n_active=jnp.asarray(self.n_active_init or N, jnp.int32),
+            feas_prev=jnp.asarray(0.0, dtype),
         )
 
     def step(self, carry: MPCCarry, x: jax.Array, t, dt) -> tuple:
@@ -136,7 +143,7 @@ class PredictiveController(Controller):
             from control_box_rst_tpu.ocp.adaptation import stage_mask_from_n
 
             W, n_active = self.adaptation.adapt(
-                W, n_active, ocp.nx, ocp.nu, ocp.N
+                W, n_active, ocp.nx, ocp.nu, ocp.N, feas=carry.feas_prev
             )
             ocp = ocp.replace(
                 stage_mask=stage_mask_from_n(n_active, ocp.N, W.dtype)
@@ -194,7 +201,7 @@ class PredictiveController(Controller):
 
         new_carry = MPCCarry(
             W=W_next, y_dyn=y_dyn, y_gen=y_gen, y_box=y_box, u_prev=u0,
-            n_active=n_active,
+            n_active=n_active, feas_prev=res.feas_res,
         )
         out = ControlOutput(
             u=u0,

@@ -47,3 +47,11 @@ from control_box_rst_tpu.ocp.preprocessor import (
     PreprocessedStageConstraint,
 )
 from control_box_rst_tpu.ocp.transcribe import TranscribedOCP, transcribe
+from control_box_rst_tpu.ocp.adaptation import (
+    GridAdaptation,
+    TimeBasedSingleStep,
+    TimeBasedAggressiveEstimate,
+    SimpleShrinkingHorizon,
+    GrowOnInfeasibility,
+    RedundantControls,
+)

@@ -81,7 +81,7 @@ class GridAdaptation:
     n_min: int = static_field(default=2)
     n_max: int = static_field(default=0)  # 0 → use grid N
 
-    def adapt(self, W, n_active, nx: int, nu: int, N: int):
+    def adapt(self, W, n_active, nx: int, nu: int, N: int, feas=None):
         return W, n_active
 
 
@@ -94,7 +94,7 @@ class TimeBasedSingleStep(GridAdaptation):
     dt_ref: jax.Array = 0.1
     dt_hyst_ratio: jax.Array = 0.1
 
-    def adapt(self, W, n_active, nx: int, nu: int, N: int):
+    def adapt(self, W, n_active, nx: int, nu: int, N: int, feas=None):
         n_max = self.n_max or N
         dts = W[:-1, nx + nu]
         mask = stage_mask_from_n(n_active, N, W.dtype)
@@ -116,7 +116,7 @@ class TimeBasedAggressiveEstimate(GridAdaptation):
     dt_ref: jax.Array = 0.1
     dt_hyst_ratio: jax.Array = 0.1
 
-    def adapt(self, W, n_active, nx: int, nu: int, N: int):
+    def adapt(self, W, n_active, nx: int, nu: int, N: int, feas=None):
         n_max = self.n_max or N
         dts = W[:-1, nx + nu]
         mask = stage_mask_from_n(n_active, N, W.dtype)
@@ -136,9 +136,45 @@ class SimpleShrinkingHorizon(GridAdaptation):
     """Remove one interval per step until n_min (ref: adaptGridSimpleShrinking
     Horizon, finite_differences_variable_grid.cpp:154-163)."""
 
-    def adapt(self, W, n_active, nx: int, nu: int, N: int):
+    def adapt(self, W, n_active, nx: int, nu: int, N: int, feas=None):
         n_new = jnp.maximum(n_active - 1, self.n_min)
         W_new = resample_W(W, nx, nu, n_active, n_new, N)
+        return W_new, n_new
+
+
+@pytree_dataclass
+class GrowOnInfeasibility(GridAdaptation):
+    """Grow the horizon by one interval after an infeasible solve.
+
+    Ref parity: `_increase_n_if_infeas` — when the solver reports neither
+    Converged nor EarlyTerminated, the grid grows for the next OCP
+    iteration (`_grid->setN(_grid->getN() + 1)`, ref:
+    src/optimal_control/src/structured_ocp/structured_optimal_control_
+    problem.cpp:135-140).
+
+    TPU redesign: infeasibility is signalled by the previous solve's
+    constraint violation `feas` (the controller feeds carry.feas_prev);
+    growth activates one more masked interval (no recompile, vmappable —
+    each batch lane grows independently). The newly activated interval
+    inherits the last active interval's control and dt; its state rows
+    already hold the terminal state via the inactive identity chain
+    (ocp/transcribe.py interval_residual), so the warm start stays
+    consistent."""
+
+    feas_tol: float = static_field(default=1e-3)
+
+    def adapt(self, W, n_active, nx: int, nu: int, N: int, feas=None):
+        if feas is None:
+            return W, n_active
+        n_max = self.n_max or N
+        grow = (feas > self.feas_tol) & (n_active < n_max)
+        k_new = jnp.minimum(n_active, N - 1)
+        k_last = jnp.maximum(n_active - 1, 0)
+        row = W[k_new]
+        row = row.at[nx : nx + nu].set(W[k_last, nx : nx + nu])
+        row = row.at[nx + nu].set(W[k_last, nx + nu])
+        W_new = W.at[k_new].set(jnp.where(grow, row, W[k_new]))
+        n_new = jnp.where(grow, n_active + 1, n_active)
         return W_new, n_new
 
 
@@ -156,7 +192,7 @@ class RedundantControls(GridAdaptation):
     epsilon: jax.Array = 0.1
     backup: int = static_field(default=1)
 
-    def adapt(self, W, n_active, nx: int, nu: int, N: int):
+    def adapt(self, W, n_active, nx: int, nu: int, N: int, feas=None):
         n_max = self.n_max or N
         dtype = W.dtype
         dts = W[:-1, nx + nu]

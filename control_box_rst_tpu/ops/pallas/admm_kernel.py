@@ -56,6 +56,7 @@ def _round_ops(
     rho,
     *, nz: int, nc: int, Kst: int, iters: int,
     sigma: float, alpha: float, rho_eq_scale: float,
+    xtot_ref=None,
 ):
     """One ρ-round on VMEM-resident state: assemble M for the given per-lane
     ρ tile, factor, run `iters` ADMM iterations in place, return (pr, dr).
@@ -64,12 +65,26 @@ def _round_ops(
       Hd [Kst, nz, nz]   J,K [Kst-1, nc, nz]   g [Kst, nz]   c [Kst-1, nc]
       dlb/dub [Kst, nz]  rho [SUB, LANE]  states x/zb/yb [Kst, nz], yd [N, nc]
       Ld [Kst, nz(nz+1)/2] packed   Lo [Kst-1, nz, nz]   xt [Kst, nz]
+
+    When `xtot_ref` is given (the recentered full-solve kernel), the box
+    bounds are shifted on the fly: [dlb - xtot, dub - xtot].
     """
     N = Kst - 1
     rho_eq = rho * rho_eq_scale
 
+    def box_lo(k, i):
+        if xtot_ref is None:
+            return dlb_ref[k, i]
+        return dlb_ref[k, i] - xtot_ref[k, i]
+
+    def box_hi(k, i):
+        if xtot_ref is None:
+            return dub_ref[k, i]
+        return dub_ref[k, i] - xtot_ref[k, i]
+
     def rho_box(k, i):
-        # per-row ρ: equality-like box rows (pins: dlb == dub) get ρ_eq
+        # per-row ρ: equality-like box rows (pins: dlb == dub) get ρ_eq.
+        # The pin test uses the UNSHIFTED bounds (shift-invariant anyway).
         return jnp.where(dlb_ref[k, i] == dub_ref[k, i], rho_eq, rho)
 
     # ---- assemble + factor M = LLᵀ (stage-by-stage, D_k built on the fly) --
@@ -233,13 +248,21 @@ def _round_ops(
                 rb = rho_box(k, i)
                 v_b = alpha * xt_ref[k, i] + (1.0 - alpha) * zb_ref[k, i]
                 z_new = jnp.clip(
-                    v_b + yb_ref[k, i] / rb, dlb_ref[k, i], dub_ref[k, i]
+                    v_b + yb_ref[k, i] / rb, box_lo(k, i), box_hi(k, i)
                 )
                 yb_ref[k, i] = yb_ref[k, i] + rb * (v_b - z_new)
                 zb_ref[k, i] = z_new
         return carry
 
-    jax.lax.fori_loop(0, iters, admm_iter, 0)
+    # while_loop, not fori_loop: a static-trip-count fori lowers to an
+    # UNROLLED scan under Mosaic — compile time measured linear in `iters`
+    # (12→50 iterations: 55 s → 145 s). The dynamic-condition while keeps
+    # one copy of the body regardless of the iteration budget.
+    def _wl_body(i):
+        admm_iter(i, 0)
+        return i + 1
+
+    jax.lax.while_loop(lambda i: i < iters, _wl_body, 0)
 
     # ---- residuals (computed once, on the final iterate) ----
     # NOTE: needs one extra Ax_d pass with the final x_t (still in xt_ref)
@@ -265,7 +288,7 @@ def _round_ops(
             rb = rho_box(k, i)
             v_b = alpha * xt_ref[k, i] + (1.0 - alpha) * zb_ref[k, i]
             z_new = jnp.clip(
-                v_b + yb_ref[k, i] / rb, dlb_ref[k, i], dub_ref[k, i]
+                v_b + yb_ref[k, i] / rb, box_lo(k, i), box_hi(k, i)
             )
             dr = jnp.maximum(dr, jnp.abs(rb * (z_new - zb_ref[k, i])))
     return pr, dr
@@ -320,32 +343,101 @@ def _solve_kernel(
     # outputs
     x_ref, zb_ref, yd_ref, yb_ref, pr_ref, dr_ref, it_ref,
     # scratch
-    Ld_ref, Lo_ref, xt_ref,
+    Ld_ref, Lo_ref, xt_ref, gs_ref, cs_ref, xtot_ref,
     *, nz: int, nc: int, Kst: int, n_rounds: int, iters: int, tol: float,
     sigma: float, alpha: float, rho_eq_scale: float,
     rho_min: float, rho_max: float,
+    tol_stat: float = 0.0, tol_feas: float = 0.0,
 ):
     """FULL box-QP solve in one kernel: up to `n_rounds` ρ-adaptation rounds
-    (assemble → block-tridiag factor → `iters` ADMM iterations → per-lane
-    OSQP §5.2 ρ rescale), with early exit once every lane's primal AND dual
-    residuals are below `tol`. The ADMM/ρ semantics match solve_stage_qp's
-    XLA rounds loop exactly; only the launch/relayout cost per round (the
-    dominant fixed cost at small batch) is eliminated."""
+    (assemble → block-tridiag factor → `iters` ADMM iterations → RECENTER →
+    per-lane OSQP §5.2 ρ rescale), with early exit once every lane is below
+    tolerance.
+
+    Recentering between rounds absorbs the accumulated step xtot into the
+    linear data (g += H·x, c += A·x, box bounds shifted on the fly) and
+    restarts the primal at 0 — algebraically a no-op for the QP, but it is
+    what makes a single-launch f32 solve POSSIBLE: a non-recentered ADMM
+    chain stalls at an absolute residual floor ~ρ_eq·ε_f32·‖data‖ (measured
+    stat ⪆1e-2 on the flagship problem), while each recentered round shrinks
+    every carried magnitude together with the remaining error. This is the
+    same reason the outer SQP loop (solvers/sqp.py) converges where a long
+    plain ADMM run does not.
+
+    Exit criterion: ADMM primal/dual < `tol`, OR — when (tol_stat,
+    tol_feas) are nonzero — the exact NLP KKT residuals of the LTI QP at
+    the recentered iterate (stat = |g' + Aᵀy| over free rows, feas =
+    |c'|), matching solvers/sqp.py's outer-loop test."""
     _init_state(
         x0_ref, zb0_ref, yd0_ref, yb0_ref, x_ref, zb_ref, yd_ref, yb_ref,
         nz=nz, nc=nc, Kst=Kst,
     )
+    N = Kst - 1
+    zero = jnp.zeros((SUB, LANE), jnp.float32)
+    for k in range(Kst):
+        for i in range(nz):
+            gs_ref[k, i] = g_ref[k, i]
+            xtot_ref[k, i] = zero
+    for k in range(N):
+        for r in range(nc):
+            cs_ref[k, r] = c_ref[k, r]
+    use_kkt = tol_stat > 0.0 and tol_feas > 0.0
 
     def do_round(carry):
-        _, rho, it = carry
+        rnd, _, rho, it = carry
         pr, dr = _round_ops(
-            Hd_ref, J_ref, K_ref, g_ref, c_ref, dlb_ref, dub_ref,
+            Hd_ref, J_ref, K_ref, gs_ref, cs_ref, dlb_ref, dub_ref,
             x_ref, zb_ref, yd_ref, yb_ref, Ld_ref, Lo_ref, xt_ref,
             rho,
             nz=nz, nc=nc, Kst=Kst, iters=iters,
             sigma=sigma, alpha=alpha, rho_eq_scale=rho_eq_scale,
+            xtot_ref=xtot_ref,
         )
+        # ---- recenter: absorb this round's step into the linear data ----
+        for k in range(N):
+            for r in range(nc):
+                ax = jnp.zeros((SUB, LANE), jnp.float32)
+                for i in range(nz):
+                    ax = ax + J_ref[k, r, i] * x_ref[k, i]
+                    ax = ax + K_ref[k, r, i] * x_ref[k + 1, i]
+                cs_ref[k, r] = cs_ref[k, r] + ax
+        for k in range(Kst):
+            for i in range(nz):
+                gi = gs_ref[k, i]
+                for j in range(nz):
+                    gi = gi + Hd_ref[k, i, j] * x_ref[k, j]
+                gs_ref[k, i] = gi
+        for k in range(Kst):
+            for i in range(nz):
+                xtot_ref[k, i] = xtot_ref[k, i] + x_ref[k, i]
+        for k in range(Kst):
+            for i in range(nz):
+                lo = dlb_ref[k, i] - xtot_ref[k, i]
+                hi = dub_ref[k, i] - xtot_ref[k, i]
+                zb_ref[k, i] = jnp.minimum(jnp.maximum(zero, lo), hi)
+                x_ref[k, i] = zero
+        # ---- convergence ----
         conv = (pr < tol) & (dr < tol)
+        if use_kkt:
+            feas = jnp.zeros((SUB, LANE), jnp.float32)
+            for k in range(N):
+                for r in range(nc):
+                    feas = jnp.maximum(feas, jnp.abs(cs_ref[k, r]))
+            stat = jnp.zeros((SUB, LANE), jnp.float32)
+            for k in range(Kst):
+                for i in range(nz):
+                    s = gs_ref[k, i] + yb_ref[k, i]
+                    if k < N:
+                        for r in range(nc):
+                            s = s + J_ref[k, r, i] * yd_ref[k, r]
+                    if k > 0:
+                        for r in range(nc):
+                            s = s + K_ref[k - 1, r, i] * yd_ref[k - 1, r]
+                    is_free = dlb_ref[k, i] != dub_ref[k, i]
+                    stat = jnp.maximum(
+                        stat, jnp.where(is_free, jnp.abs(s), 0.0)
+                    )
+            conv = conv | ((stat < tol_stat) & (feas < tol_feas))
         scale = jnp.sqrt(pr / jnp.maximum(dr, 1e-30))
         rho_new = jnp.clip(
             rho * jnp.clip(scale, 0.1, 10.0), rho_min, rho_max
@@ -353,15 +445,21 @@ def _solve_kernel(
         rho_next = jnp.where(conv, rho, rho_new)
         pr_ref[0] = pr
         dr_ref[0] = dr
-        return jnp.all(conv), rho_next, it + jnp.float32(iters)
+        return rnd + 1, jnp.all(conv), rho_next, it + jnp.float32(iters)
 
-    def round_body(_, carry):
-        done = carry[0]
-        return jax.lax.cond(done, lambda c: c, do_round, carry)
-
-    init = (jnp.asarray(False), rho0_ref[...], jnp.float32(0.0))
-    done, rho, it = jax.lax.fori_loop(0, n_rounds, round_body, init)
+    # dynamic while (NOT fori + cond): single copy of the round body under
+    # Mosaic and a true early exit — converged tiles stop looping instead
+    # of running the remaining rounds as an identity branch
+    init = (jnp.asarray(0, jnp.int32), jnp.asarray(False),
+            rho0_ref[...], jnp.float32(0.0))
+    _, done, rho, it = jax.lax.while_loop(
+        lambda s: (s[0] < n_rounds) & ~s[1], do_round, init
+    )
     it_ref[0] = jnp.broadcast_to(it, (SUB, LANE))
+    # the solution is the accumulated recentered step
+    for k in range(Kst):
+        for i in range(nz):
+            x_ref[k, i] = xtot_ref[k, i]
 
 
 def _to_tiles(a, B):
@@ -379,7 +477,7 @@ def _from_tiles(a, B):
     jax.jit,
     static_argnames=(
         "n_rounds", "iters", "tol", "sigma", "alpha", "rho_eq_scale",
-        "rho_min", "rho_max", "interpret",
+        "rho_min", "rho_max", "tol_stat", "tol_feas", "interpret",
     ),
 )
 def boxqp_solve_pallas(
@@ -393,6 +491,8 @@ def boxqp_solve_pallas(
     rho_eq_scale: float,
     rho_min: float,
     rho_max: float,
+    tol_stat: float = 0.0,
+    tol_feas: float = 0.0,
     interpret: bool = False,
 ):
     """FULL box-QP ADMM solve (all ρ rounds) in one pallas_call per 1024-lane
@@ -434,7 +534,8 @@ def boxqp_solve_pallas(
             lambda ch: boxqp_solve_pallas(
                 *ch, n_rounds=n_rounds, iters=iters, tol=tol, sigma=sigma,
                 alpha=alpha, rho_eq_scale=rho_eq_scale,
-                rho_min=rho_min, rho_max=rho_max, interpret=interpret,
+                rho_min=rho_min, rho_max=rho_max,
+                tol_stat=tol_stat, tol_feas=tol_feas, interpret=interpret,
             ),
             chunked,
         )
@@ -468,7 +569,7 @@ def boxqp_solve_pallas(
     kernel = functools.partial(
         _solve_kernel, nz=nz, nc=nc, Kst=Kst, n_rounds=n_rounds, iters=iters,
         tol=tol, sigma=sigma, alpha=alpha, rho_eq_scale=rho_eq_scale,
-        rho_min=rho_min, rho_max=rho_max,
+        rho_min=rho_min, rho_max=rho_max, tol_stat=tol_stat, tol_feas=tol_feas,
     )
     outs = pl.pallas_call(
         kernel,
@@ -480,6 +581,9 @@ def boxqp_solve_pallas(
             pltpu.VMEM((Kst, nz * (nz + 1) // 2, n_sub, LANE), Hd.dtype),  # Ld
             pltpu.VMEM((N, nz, nz, n_sub, LANE), Hd.dtype),                # Lo
             pltpu.VMEM((Kst, nz, n_sub, LANE), Hd.dtype),                  # xt
+            pltpu.VMEM((Kst, nz, n_sub, LANE), Hd.dtype),                  # gs
+            pltpu.VMEM((N, nc, n_sub, LANE), Hd.dtype),                    # cs
+            pltpu.VMEM((Kst, nz, n_sub, LANE), Hd.dtype),                  # xtot
         ],
         interpret=interpret,
     )(*args)

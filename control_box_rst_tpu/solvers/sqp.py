@@ -165,18 +165,43 @@ def sqp_solve(
     if hoist_H:
         Hm_c = _mask_H(ocp.cost_hessian_blocks(W0))
 
-    # ---- one-shot LTI path (single fused kernel launch per solve) ----
+    # ---- one-shot LTI fast path (single fused kernel launch) ----
     # LTI dynamics + constant quadratic Hessian + box-only constraints make
     # the NLP itself a convex QP: the first linearization is exact, the QP
     # minimizer IS the NLP minimizer (full Newton step, no line search, no
-    # outer loop). The fused Pallas kernel then runs the ENTIRE solve —
-    # every ρ-adaptation round — in one launch (ops/pallas/admm_kernel.py:
-    # _solve_kernel), instead of one launch per round per SQP iteration.
+    # outer loop). The fused Pallas kernel runs the ENTIRE solve — every
+    # ρ-adaptation round, with per-tile early exit — in one launch
+    # (ops/pallas/admm_kernel.py:_solve_kernel).
+    #
+    # Budget: the one-shot must match the TOTAL ADMM work the outer SQP
+    # loop would spend (max_iter SQP iterations × the per-QP budget), not a
+    # single QP's budget — the round-3 regression (converged_frac 1.0 →
+    # 0.002) came from giving it 12 iterations total. Early exit makes the
+    # larger cap cheap for easy lanes.
+    #
+    # Correctness contract (ref: OSQP's solve-to-tolerance contract,
+    # qp_solver_osqp.cpp:179, and SolverStatus semantics,
+    # nlp_solver_interface.h:67-116): the one-shot result is checked
+    # against the EXACT NLP KKT residuals, and lanes that miss tolerance
+    # fall through into the standard outer SQP loop below (their `done`
+    # flag starts False) — the one-shot can only accelerate, never degrade.
     one_shot = (
         hoist_JK and hoist_H and ng == 0
         and cfg.qp.backend == "fused" and dtype == jnp.float32
     )
+    it0 = jnp.asarray(0, jnp.int32)
+    qp_iters0 = jnp.asarray(0, jnp.int32)
+    done0 = jnp.asarray(False)
+    stat0 = feas0 = jnp.asarray(jnp.inf, dtype)
     if one_shot:
+        per_qp_budget = cfg.qp.max_iter if cfg.qp.max_iter is not None else 200
+        qp_cfg_os = cfg.qp.replace(
+            max_iter=cfg.max_iter * per_qp_budget,
+            # in-kernel early exit on the SOLVER-level KKT criterion — the
+            # per-round ADMM pr/dr `tol` alone is far stricter than what
+            # the outer loop would require, and grinding it wastes rounds
+            kkt_tols=(float(tol_stat), float(tol_feas)),
+        )
         c0 = ocp.interval_residuals(W0)
         gm = ocp.cost_gradient(W0) * free
         qp = StageQP(
@@ -187,34 +212,28 @@ def sqp_solve(
             dub=jnp.where(free > 0, ub - W0, 0.0),
         )
         sol = solve_stage_qp(
-            qp, cfg.qp,
+            qp, qp_cfg_os,
             warm=QPWarmStart(
                 delta=jnp.zeros_like(W0), y_dyn=y_dyn0, y_gen=y_gen0,
                 y_box=y_box0,
             ),
         )
-        W = W0 + sol.delta * free
+        W_os = W0 + sol.delta * free
         # exact KKT residuals of the NLP at the solution
-        gm1 = ocp.cost_gradient(W) * free
+        gm1 = ocp.cost_gradient(W_os) * free
         grad_lag = gm1.at[:-1].add(jnp.einsum("kri,kr->ki", Jm_c, sol.y_dyn))
         grad_lag = grad_lag.at[1:].add(jnp.einsum("kri,kr->ki", Km_c, sol.y_dyn))
         grad_lag = grad_lag + sol.y_box * free
-        stat = jnp.max(jnp.abs(grad_lag * free))
-        feas = jnp.max(jnp.abs(ocp.interval_residuals(W)))
-        converged = (stat < tol_stat) & (feas < tol_feas)
-        status = jnp.where(
-            converged,
-            jnp.asarray(int(SolverStatus.CONVERGED), jnp.int32),
-            jnp.asarray(int(SolverStatus.EARLY_TERMINATED), jnp.int32),
-        )
-        return SQPResult(
-            traj=ocp.unpack(W), W=W,
-            y_dyn=sol.y_dyn, y_gen=y_gen0, y_box=sol.y_box,
-            iterations=jnp.asarray(1, jnp.int32),
-            objective=ocp.objective_from_W(W),
-            stat_res=stat, feas_res=feas, status=status,
-            qp_iters=sol.iters,
-        )
+        stat0 = jnp.max(jnp.abs(grad_lag * free))
+        feas0 = jnp.max(jnp.abs(ocp.interval_residuals(W_os)))
+        done0 = (stat0 < tol_stat) & (feas0 < tol_feas)
+        # accept the one-shot iterate as the outer loop's starting point
+        # either way: for converged lanes it is final (frozen by `done`);
+        # for the rest it is a warm start strictly better than traj0.
+        W0 = W_os
+        y_dyn0, y_box0 = sol.y_dyn, sol.y_box
+        it0 = jnp.asarray(1, jnp.int32)
+        qp_iters0 = sol.iters
 
     def iteration(state):
         (W0_it, y_dyn0_it, y_gen0_it, y_box0_it, nu, it, stat_res0, feas_res0,
@@ -309,12 +328,11 @@ def sqp_solve(
         it, done = state[5], state[8]
         return (it < cfg.max_iter) & (~done)
 
-    big = jnp.asarray(jnp.inf, dtype)
     init = (
         W0, y_dyn0, y_gen0, y_box0,
         jnp.asarray(cfg.merit_nu_init, dtype),
-        jnp.asarray(0, jnp.int32), big, big,
-        jnp.asarray(False), jnp.asarray(0, jnp.int32),
+        it0, stat0, feas0,
+        done0, qp_iters0,
     )
     (W, y_dyn, y_gen, y_box, nu, it, stat, feas, done, qp_tot) = jax.lax.while_loop(
         cond, iteration, init

@@ -84,6 +84,12 @@ class QPConfig:
     #     per-lane when called unbatched.
     # None = auto: make_batched_solver picks 'fused' on TPU, else 'xla'.
     backend: str = static_field(default=None)
+    # (tol_stat, tol_feas): when set (one-shot LTI path, solvers/sqp.py),
+    # the full-solve rounds loop ALSO exits once the exact NLP KKT
+    # residuals of the LTI QP are below these — the solver-level criterion,
+    # typically far looser than the ADMM pr/dr `tol` — so the kernel stops
+    # the moment the outer SQP loop would have declared convergence.
+    kkt_tols: Tuple[float, float] = static_field(default=None)
 
 
 class QPSolution(NamedTuple):
@@ -247,39 +253,70 @@ def _make_fused_solve(cfg: QPConfig, max_iter: int, tol):
     iters = cfg.iters_per_round
     n_rounds = max(1, -(-max_iter // iters))
     round_ref = _round_reference_fn(cfg, iters)
+    kkt = cfg.kkt_tols
+    tol_stat = float(kkt[0]) if kkt is not None else 0.0
+    tol_feas = float(kkt[1]) if kkt is not None else 0.0
 
     def _reference(Hd, J, K, g, c, dlb, dub, rho, x, z_b, y_d, y_b):
         dtype = g.dtype
         big = jnp.asarray(jnp.inf, dtype)
 
+        # Rounds RECENTER between ADMM bursts: the accumulated step xtot is
+        # absorbed into the linear data (g += H·x, c += A·x, bounds shift)
+        # and the primal restarts at 0. Algebraically a no-op for the QP,
+        # but essential in f32: it shrinks every carried magnitude with the
+        # remaining error, so the achievable absolute residual floor drops
+        # each round — a single non-recentered ADMM chain stalls at
+        # ~ρ_eq·ε_f32·‖data‖ (measured: stat pinned at 1e-2 while the
+        # recentered outer loop reaches 2e-5 on the same problem).
         def body(state):
-            x, z_b, y_d, y_b, rho, rnd, it, pr, dr = state
+            xtot, g_s, c_s, x, z_b, y_d, y_b, rho, rnd, it, pr, dr, _ = state
+            dlb_s, dub_s = dlb - xtot, dub - xtot
             x, z_b, y_d, y_b, pr, dr = round_ref(
-                Hd, J, K, g, c, dlb, dub, rho, x, z_b, y_d, y_b
+                Hd, J, K, g_s, c_s, dlb_s, dub_s, rho, x, z_b, y_d, y_b
             )
+            # ---- recenter ----
+            xtot = xtot + x
+            c_s = c_s + mv_small(J, x[:-1]) + mv_small(K, x[1:])
+            g_s = g_s + jnp.einsum("kij,kj->ki", Hd, x)
+            z_b = jnp.clip(jnp.zeros_like(x), dlb - xtot, dub - xtot)
+            x = jnp.zeros_like(x)
+            # ---- convergence ----
+            converged = (pr < tol) & (dr < tol)
+            if kkt is not None:
+                # exact NLP KKT residuals at the recentered iterate
+                # (mirrors solvers/sqp.py's outer-loop test exactly)
+                feas = jnp.max(jnp.abs(c_s))
+                gl = g_s + y_b
+                gl = gl.at[:-1].add(mv_small_t(J, y_d))
+                gl = gl.at[1:].add(mv_small_t(K, y_d))
+                is_free = dlb != dub
+                stat = jnp.max(jnp.where(is_free, jnp.abs(gl), 0.0))
+                converged = converged | (
+                    (stat < tol_stat) & (feas < tol_feas)
+                )
             scale = jnp.sqrt(pr / jnp.maximum(dr, 1e-30))
             rho_new = jnp.clip(
                 rho * jnp.clip(scale, 0.1, 10.0), cfg.rho_min, cfg.rho_max
             )
-            converged = (pr < tol) & (dr < tol)
             rho_new = jnp.where(converged, rho, rho_new)
             return (
-                x, z_b, y_d, y_b, rho_new, rnd + 1, it + jnp.float32(iters),
-                pr, dr,
+                xtot, g_s, c_s, x, z_b, y_d, y_b, rho_new, rnd + 1,
+                it + jnp.float32(iters), pr, dr, converged,
             )
 
         def cond(state):
-            rnd, pr, dr = state[5], state[7], state[8]
-            return (rnd < n_rounds) & ((pr > tol) | (dr > tol))
+            rnd, conv = state[8], state[12]
+            return (rnd < n_rounds) & ~conv
 
         init = (
-            x, z_b, y_d, y_b, rho,
+            jnp.zeros_like(x), g, c, x, z_b, y_d, y_b, rho,
             jnp.asarray(0, jnp.int32), jnp.float32(0.0), big, big,
+            jnp.asarray(False),
         )
-        x, z_b, y_d, y_b, rho, rnd, it, pr, dr = jax.lax.while_loop(
-            cond, body, init
-        )
-        return x, z_b, y_d, y_b, pr, dr, it
+        out = jax.lax.while_loop(cond, body, init)
+        xtot, g_s, c_s, x, z_b, y_d, y_b, rho, rnd, it, pr, dr, _ = out
+        return xtot, z_b, y_d, y_b, pr, dr, it
 
     fused_solve = jax.custom_batching.custom_vmap(_reference)
 
@@ -300,7 +337,8 @@ def _make_fused_solve(cfg: QPConfig, max_iter: int, tol):
         outs = boxqp_solve_pallas(
             *args, n_rounds=n_rounds, iters=iters, tol=float(tol),
             sigma=cfg.sigma, alpha=cfg.alpha, rho_eq_scale=cfg.rho_eq_scale,
-            rho_min=cfg.rho_min, rho_max=cfg.rho_max, interpret=interpret,
+            rho_min=cfg.rho_min, rho_max=cfg.rho_max,
+            tol_stat=tol_stat, tol_feas=tol_feas, interpret=interpret,
         )
         return outs, tuple(True for _ in outs)
 

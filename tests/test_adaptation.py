@@ -154,3 +154,77 @@ def test_closed_loop_time_optimal_with_adaptation():
     assert dist.min() < 0.1
     # and it got there no slower than ~T* = 2s (+1s slack for replanning)
     assert float(res.ts[int(dist.argmin())]) < 3.0
+
+
+def test_grow_on_infeasibility_unit():
+    """GrowOnInfeasibility grows only on a reported violation and copies the
+    last active interval's u/dt into the newly activated one."""
+    from control_box_rst_tpu.ocp.adaptation import GrowOnInfeasibility
+
+    N = 10
+    W = _make_W(N)
+    ad = GrowOnInfeasibility(feas_tol=1e-3, n_max=N)
+    # feasible → no growth
+    W2, n2 = ad.adapt(W, jnp.asarray(5), 2, 1, N, feas=jnp.asarray(1e-6))
+    assert int(n2) == 5
+    np.testing.assert_allclose(np.asarray(W2), np.asarray(W))
+    # infeasible → +1, new interval inherits u/dt of the last active one
+    W3, n3 = ad.adapt(W, jnp.asarray(5), 2, 1, N, feas=jnp.asarray(1.0))
+    assert int(n3) == 6
+    np.testing.assert_allclose(float(W3[5, 2]), float(W[4, 2]))
+    np.testing.assert_allclose(float(W3[5, 3]), float(W[4, 3]))
+    # saturates at n_max
+    _, n4 = ad.adapt(W, jnp.asarray(N), 2, 1, N, feas=jnp.asarray(1.0))
+    assert int(n4) == N
+    # no feas signal → inert
+    _, n5 = ad.adapt(W, jnp.asarray(5), 2, 1, N)
+    assert int(n5) == 5
+
+
+def test_grow_horizon_until_feasible():
+    """An infeasibly short horizon grows step by step until the terminal
+    equality constraint becomes reachable (ref `_increase_n_if_infeas`,
+    structured_optimal_control_problem.cpp:135-140).
+
+    Double integrator, |u| <= 1, dt = 0.1 fixed, rest-to-rest transfer over
+    a distance of 2: minimum time T* = 2*sqrt(2) ~ 2.83 s, so at least 29
+    intervals are needed; the controller starts with 10."""
+    from control_box_rst_tpu.ocp import GrowOnInfeasibility
+
+    N = 40
+    sys_ = DoubleIntegratorContinuous()
+    from control_box_rst_tpu.ocp import QuadraticFormCost, finite_differences_grid
+
+    grid = finite_differences_grid(N, fd_scheme="crank_nicolson")
+    bounds = Bounds.unbounded(2, 1).with_u(-1.0, 1.0).with_dt(0.1, 0.1)
+    ocp = transcribe(
+        sys_, grid, QuadraticFormCost(Q=jnp.eye(2), R=0.1 * jnp.eye(1)),
+        bounds=bounds,
+        x0=jnp.array([2.0, 0.0]), xf=jnp.zeros(2),
+        xf_fixed=jnp.array([1.0, 1.0]),
+    )
+    ctrl = PredictiveController(
+        nx=2, nu=1, ocp=ocp, dt=0.1,
+        cfg=SQPConfig(max_iter=12, qp=QPConfig(max_iter=300, tol=1e-10),
+                      tol_stat=1e-5, tol_feas=1e-7),
+        adaptation=GrowOnInfeasibility(feas_tol=1e-4, n_max=N),
+        n_active_init=10,
+        warm_start_shift=False,
+        usable_feas_tol=1e-4,
+    )
+    carry = ctrl.init_carry(jnp.array([2.0, 0.0]))
+    step = jax.jit(lambda c: ctrl.step(c, jnp.array([2.0, 0.0]), 0.0, 0.1))
+    ns, oks = [], []
+    for _ in range(30):
+        carry, out = step(carry)
+        ns.append(int(out.info["n_active"]))
+        oks.append(bool(out.ok))
+    # started infeasible and short
+    assert ns[0] == 10 and not oks[0]
+    # grew monotonically (one interval per infeasible solve)
+    assert all(b - a in (0, 1) for a, b in zip(ns, ns[1:]))
+    # ended feasible at a horizon long enough for the min-time bound
+    assert oks[-1]
+    assert 29 <= ns[-1] <= 34
+    # growth stopped once feasible
+    assert ns[-1] == ns[-3]
