@@ -198,6 +198,16 @@ class PredictiveController(Controller):
             y_box = jnp.concatenate([res_y_box[1:], res_y_box[-1:]], axis=0)
         else:
             W_next, y_dyn, y_gen, y_box = res.W, res.y_dyn, res.y_gen, res_y_box
+        # duals from an unusable (infeasible/unconverged) solve are not a
+        # warm start — ADMM iterated on an infeasible QP grows its duals
+        # without bound, and carrying them poisons every later solve (the
+        # primal W stays: it is still the best available initializer).
+        # Ref analogue: LM carries no duals at all; warm starting is a
+        # primal-trajectory concept there (warmStartShifting).
+        usable = res.feas_res < self.usable_feas_tol
+        y_dyn = jnp.where(usable, y_dyn, 0.0)
+        y_gen = jnp.where(usable, y_gen, 0.0)
+        y_box = jnp.where(usable, y_box, 0.0)
 
         new_carry = MPCCarry(
             W=W_next, y_dyn=y_dyn, y_gen=y_gen, y_box=y_box, u_prev=u0,

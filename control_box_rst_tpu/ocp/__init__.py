@@ -34,6 +34,7 @@ from control_box_rst_tpu.ocp.constraints import (
 from control_box_rst_tpu.ocp.grids import (
     Grid,
     finite_differences_grid,
+    hermite_simpson_uncompressed_grid,
     finite_differences_variable_grid,
     non_uniform_fd_variable_grid,
     multiple_shooting_grid,

@@ -91,6 +91,18 @@ def finite_differences_grid(N: int, fd_scheme: str = "crank_nicolson",
                 cost_integration=cost_integration, dt_mode="fixed")
 
 
+def hermite_simpson_uncompressed_grid(N: int) -> Grid:
+    """Uncompressed Hermite-Simpson collocation: interval midpoint states
+    are decision variables with an explicit interpolation constraint, and
+    the Simpson cost quadrature evaluates the decision midpoint (ref: the
+    uncompressed collocation edges, structured_ocp/edges/
+    collocation_edges.h:42-1392). The midpoints are appended to the stage
+    vector (w_k = [x;u;dt;xm]) so the interval rows stay 2-point-coupled
+    — see TranscribedOCP.n_aux."""
+    return Grid(N=N, kind="fd", fd_scheme="hermite_simpson_unc",
+                cost_integration="hermite_simpson_unc", dt_mode="fixed")
+
+
 def finite_differences_variable_grid(N: int, fd_scheme: str = "crank_nicolson",
                                      cost_integration: str = "left_sum") -> Grid:
     """Uniform time-optimal grid: ONE global dt decision variable.

@@ -98,8 +98,24 @@ class TranscribedOCP:
         return self.system.nu
 
     @property
+    def n_aux(self) -> int:
+        """Auxiliary per-stage decision states appended after [x;u;dt]:
+        the UNCOMPRESSED Hermite-Simpson scheme stores interval k's
+        midpoint state in stage k (ref: midpoint vertices of
+        collocation_edges.h:42-1392). Keeping them inside the stage vector
+        preserves the 2-point coupling c_k(w_k, w_{k+1}) — and with it the
+        block-tridiagonal KKT structure every solver relies on."""
+        return (
+            self.nx
+            if (self.grid.kind == "fd"
+                and self.grid.fd_scheme == "hermite_simpson_unc"
+                and self.system.continuous_time)
+            else 0
+        )
+
+    @property
     def nz(self) -> int:
-        return self.nx + self.nu + 1
+        return self.nx + self.nu + 1 + self.n_aux
 
     @property
     def n_tie(self) -> int:
@@ -109,8 +125,8 @@ class TranscribedOCP:
 
     @property
     def nc(self) -> int:
-        """Interval equality rows: defect + ties."""
-        return self.nx + self.n_tie
+        """Interval equality rows: defect (+ midpoint ties) + ties."""
+        return self.nx + self.n_aux + self.n_tie
 
     @property
     def ng_stage(self) -> int:
@@ -128,13 +144,20 @@ class TranscribedOCP:
 
     # ---------------- packing ----------------
     def pack(self, traj: Trajectory) -> jax.Array:
-        """Trajectory → W [N+1, nz]. Stage N gets dummy u/dt (zeros)."""
+        """Trajectory → W [N+1, nz]. Stage N gets dummy u/dt (zeros).
+        Aux midpoint states (uncompressed HS) are initialized by linear
+        midpoint interpolation; thereafter they live in W as decision
+        variables."""
         N, nx, nu = self.N, self.nx, self.nu
         U_pad = jnp.concatenate([traj.U, jnp.zeros((1, nu), traj.U.dtype)], axis=0)
         dt_pad = jnp.concatenate(
             [traj.dts, jnp.zeros((1,), traj.dts.dtype)], axis=0
         )
-        return jnp.concatenate([traj.X, U_pad, dt_pad[:, None]], axis=-1)
+        cols = [traj.X, U_pad, dt_pad[:, None]]
+        if self.n_aux:
+            Xm = 0.5 * (traj.X[:-1] + traj.X[1:])
+            cols.append(jnp.concatenate([Xm, traj.X[-1:]], axis=0))
+        return jnp.concatenate(cols, axis=-1)
 
     def unpack(self, W: jax.Array) -> Trajectory:
         nx, nu = self.nx, self.nu
@@ -210,10 +233,23 @@ class TranscribedOCP:
         # by dt — evaluate them at a safe dt (result is masked out anyway;
         # without the guard, 0 · inf = NaN poisons the masked sum)
         dt_safe = jnp.where(m > 0, dt, jnp.ones_like(dt))
-        defect = self._defect_fn()(x, u, x1, u1, dt_safe)
-        # inactive interval → identity chain (keeps tail pinned, QP regular)
-        defect = m * defect + (1.0 - m) * (x1 - x)
-        rows = [defect]
+        if self.n_aux:
+            from control_box_rst_tpu.ops.collocation import (
+                hermite_simpson_unc_rows,
+            )
+
+            xm = w[nx + nu + 1:]
+            unc = hermite_simpson_unc_rows(
+                self.system, x, xm, u, x1, dt_safe
+            )
+            # inactive interval → identity chain + midpoint pinned to x
+            idle = jnp.concatenate([x1 - x, xm - x])
+            rows = [m * unc + (1.0 - m) * idle]
+        else:
+            defect = self._defect_fn()(x, u, x1, u1, dt_safe)
+            # inactive interval → identity chain (keeps tail pinned, QP regular)
+            defect = m * defect + (1.0 - m) * (x1 - x)
+            rows = [defect]
         if self.grid.has_dt_tie:
             dt1 = w1[nx + nu]
             # last interval has dummy dt at stage N → masked off
@@ -243,16 +279,18 @@ class TranscribedOCP:
         Xk = Wk[:, :nx]
         Uk = Wk[:, nx : nx + nu]
         DTk = Wk[:, nx + nu]
+        AUXk = Wk[:, nx + nu + 1:]
         Xk1 = Wk1[:, :nx]
         Uk1 = Wk1[:, nx : nx + nu]
         DTk1 = Wk1[:, nx + nu]
+        AUXk1 = Wk1[:, nx + nu + 1:]
 
-        def one(k, x, u, dt, x1, u1, dt1):
-            w = jnp.concatenate([x, u, dt[None]])
-            w1 = jnp.concatenate([x1, u1, dt1[None]])
+        def one(k, x, u, dt, aux, x1, u1, dt1, aux1):
+            w = jnp.concatenate([x, u, dt[None], aux])
+            w1 = jnp.concatenate([x1, u1, dt1[None], aux1])
             return self.interval_residual(k, w, w1)
 
-        return jax.vmap(one)(ks, Xk, Uk, DTk, Xk1, Uk1, DTk1)
+        return jax.vmap(one)(ks, Xk, Uk, DTk, AUXk, Xk1, Uk1, DTk1, AUXk1)
 
     def defects(self, traj: Trajectory) -> jax.Array:
         """[N, nx] dynamics defects only (diagnostics / tests)."""
@@ -296,6 +334,19 @@ class TranscribedOCP:
                 xref1 = self.refs.xref[k + 1]
                 val = 0.5 * dt * (
                     c.stage(x, u, dt, xref, uref)
+                    + c.stage(x1, u, dt, xref1, uref)
+                )
+            elif self.grid.cost_integration == "hermite_simpson_unc":
+                # Simpson rule on the DECISION-VARIABLE midpoint (ref:
+                # uncompressed collocation cost edges,
+                # collocation_edges.h:42-1392)
+                x1 = w1[:nx]
+                xref1 = self.refs.xref[k + 1]
+                xm = w[nx + nu + 1:]
+                xrefm = 0.5 * (xref + xref1)
+                val = (dt / 6.0) * (
+                    c.stage(x, u, dt, xref, uref)
+                    + 4.0 * c.stage(xm, u, dt, xrefm, uref)
                     + c.stage(x1, u, dt, xref1, uref)
                 )
             elif self.grid.cost_integration in (
@@ -366,6 +417,7 @@ class TranscribedOCP:
             t2 = jnp.zeros(())
             if self.cost.integral and self.grid.cost_integration in (
                 "trapezoidal", "hermite_simpson", "hermite_simpson_lc",
+                "hermite_simpson_unc",
             ):
                 right = jnp.where(k > 0, 1.0, 0.0)
                 t2 = right * self._stage_term(
@@ -530,8 +582,15 @@ class TranscribedOCP:
         """Absolute box bounds lb, ub [N+1, nz] (before pinning)."""
         N, nz = self.N, self.nz
         b = self.bounds
-        lb_row = jnp.concatenate([b.x_lb, b.u_lb, b.dt_lb[None]])
-        ub_row = jnp.concatenate([b.x_ub, b.u_ub, b.dt_ub[None]])
+        lb_parts = [b.x_lb, b.u_lb, b.dt_lb[None]]
+        ub_parts = [b.x_ub, b.u_ub, b.dt_ub[None]]
+        if self.n_aux:
+            # midpoint states get the state bounds (ref: midpoint vertices
+            # carry the same box bounds as the state vertices)
+            lb_parts.append(b.x_lb)
+            ub_parts.append(b.x_ub)
+        lb_row = jnp.concatenate(lb_parts)
+        ub_row = jnp.concatenate(ub_parts)
         lb = jnp.broadcast_to(lb_row, (N + 1, nz))
         ub = jnp.broadcast_to(ub_row, (N + 1, nz))
         return lb, ub

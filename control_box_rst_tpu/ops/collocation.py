@@ -150,3 +150,25 @@ def quadrature_hermite_simpson_lc(l, x1, u1, x2, u2, dt, f: DynamicsFn | None = 
     else:
         xm = 0.5 * (x1 + x2)
     return (dt / 6.0) * (l(x1, u1) + 4.0 * l(xm, um) + l(x2, u2))
+
+
+def hermite_simpson_unc_rows(f: DynamicsFn, x1, xm, u1, x2, dt):
+    """UNCOMPRESSED Hermite-Simpson interval rows: the midpoint state xm is
+    a DECISION VARIABLE rather than being Hermite-interpolated away (ref:
+    the uncompressed collocation edge variants, structured_ocp/edges/
+    collocation_edges.h:42-1392 — midpoint vertices with an explicit
+    interpolation constraint).
+
+    Returns [2·nx] rows, both in the 1/dt-scaled defect convention:
+      simpson  = (f1 + 4 f(xm) + f2)/6 − (x2 − x1)/dt          (dynamics)
+      midtie   = (xm − (x1+x2)/2)/dt − (f1 − f2)/8             (interpolation)
+    At a solution the midtie row pins xm to the Hermite midpoint, making
+    the scheme equivalent to the compressed form — but the midpoint enters
+    the NLP with its own bounds and linearization (larger, sparser KKT:
+    the reference's accuracy/structure trade-off)."""
+    f1 = f(x1, u1)
+    f2 = f(x2, u1)
+    fm = f(xm, u1)
+    simpson = (f1 + 4.0 * fm + f2) / 6.0 - (x2 - x1) / dt
+    midtie = (xm - 0.5 * (x1 + x2)) / dt - (f1 - f2) / 8.0
+    return jnp.concatenate([simpson, midtie])

@@ -131,3 +131,225 @@ def test_open_loop_plan_matches_cpp_reference(plan_file, system, N, Qf_scale, x0
     x_err = np.max(np.abs(np.asarray(res.traj.X) - X_ref))
     assert u_err < 1e-4, f"plan control max err {u_err}"
     assert x_err < 1e-4, f"plan state max err {x_err}"
+
+
+# ---------------------------------------------------------------------------
+# Round-4 goldens: constrained, multiple-shooting, time-optimal, and
+# multi-control-MS configurations (VERDICT round-3 gap #1).
+# Generated by tools/golden_gen.cpp cases 3-6; settings in its header.
+# ---------------------------------------------------------------------------
+
+
+def _load_plan_generic(name):
+    """Plan rows: x..., u..., tx (state timestamps)."""
+    X, U, TX = [], [], None
+    with open(os.path.join(GOLDEN_DIR, name)) as f:
+        for line in f:
+            p = line.split()
+            if p[0] == "x":
+                X.append([float(v) for v in p[1:]])
+            elif p[0] == "u":
+                U.append([float(v) for v in p[1:]])
+            elif p[0] == "tx":
+                TX = np.asarray([float(v) for v in p[1:]])
+    return np.asarray(X), np.asarray(U), TX
+
+
+def test_bounded_double_integrator_matches_cpp_reference():
+    """Case 3: ACTIVE input bounds |u| <= 1 (the reference enforces them via
+    LM bound penalties; we solve the hard-constrained QP — the optima agree
+    because the penalty weights adapt to 1e6). First golden with an
+    actively-constrained solution (ref anchor: LM bound handling,
+    levenberg_marquardt_sparse.cpp:89)."""
+    t, x_ref, u_ref = _load_golden("closed_loop_di_bounded.tsv")
+    cost = CompositeCost(
+        costs=(
+            QuadraticFormCost(Q=jnp.eye(2), R=0.1 * jnp.eye(1)),
+            QuadraticFinalStateCost(Qf=10.0 * jnp.eye(2)),
+        )
+    )
+    from control_box_rst_tpu.ocp import Bounds
+
+    grid = finite_differences_grid(50, fd_scheme="crank_nicolson")
+    bounds = Bounds.unbounded(2, 1).with_u(-1.0, 1.0)
+    ocp = transcribe(DoubleIntegratorContinuous(), grid, cost,
+                     bounds=bounds, x0=jnp.zeros(2))
+    ctrl = PredictiveController(
+        nx=2, nu=1, ocp=ocp, dt=0.1,
+        cfg=SQPConfig(max_iter=20, qp=QPConfig(max_iter=1000, tol=1e-12)),
+    )
+    plant = SimulatedPlant(system=DoubleIntegratorContinuous())
+    res = jax.jit(
+        lambda x: run_closed_loop(plant, ctrl, x, T_steps=60, dt=0.1)
+    )(jnp.asarray([2.0, 0.5]))
+    u = np.asarray(res.u)
+    assert u.max() <= 1.0 + 1e-9 and u.min() >= -1.0 - 1e-9
+    # bounds actively saturated for a stretch
+    assert (np.abs(u) > 0.999).sum() >= 10
+    u_err = np.max(np.abs(u - u_ref))
+    x_err = np.max(np.abs(np.asarray(res.x_true[:-1]) - x_ref))
+    assert u_err < 1e-3, f"control max err {u_err}"
+    assert x_err < 1e-3, f"state max err {x_err}"
+
+
+def test_van_der_pol_multiple_shooting_matches_cpp_reference():
+    """Case 4: reference MultipleShootingGrid (RK4, one control per
+    interval) vs our 'ms' grid (ref: multiple_shooting_grid.cpp:38-160,
+    MSVariableDynamicsOnlyEdge integration)."""
+    from control_box_rst_tpu.ocp import multiple_shooting_grid
+
+    t, x_ref, u_ref = _load_golden("closed_loop_vdp_ms.tsv")
+    cost = CompositeCost(
+        costs=(
+            QuadraticFormCost(Q=jnp.eye(2), R=0.1 * jnp.eye(1)),
+            QuadraticFinalStateCost(Qf=5.0 * jnp.eye(2)),
+        )
+    )
+    grid = multiple_shooting_grid(20, integrator="rk4", substeps=1)
+    ocp = transcribe(VanDerPolOscillator(), grid, cost, x0=jnp.zeros(2))
+    ctrl = PredictiveController(
+        nx=2, nu=1, ocp=ocp, dt=0.1,
+        cfg=SQPConfig(max_iter=20, qp=QPConfig(max_iter=1000, tol=1e-12)),
+    )
+    plant = SimulatedPlant(system=VanDerPolOscillator())
+    res = jax.jit(
+        lambda x: run_closed_loop(plant, ctrl, x, T_steps=60, dt=0.1)
+    )(jnp.asarray([1.0, 0.5]))
+    u_err = np.max(np.abs(np.asarray(res.u) - u_ref))
+    x_err = np.max(np.abs(np.asarray(res.x_true[:-1]) - x_ref))
+    assert u_err < 2e-3, f"control max err {u_err}"
+    assert x_err < 2e-3, f"state max err {x_err}"
+
+
+def test_time_optimal_plan_matches_cpp_reference():
+    """Case 5 open loop: time-optimal plan on the reference
+    FiniteDifferencesVariableGrid (single free dt, xf fixed, |u| <= 1;
+    ref finite_differences_variable_grid.h:34). The reference's converged
+    dt* = 0.1224740 reproduces T* = 2*sqrt(1.5) to 7 digits; ours must
+    match within 1e-3."""
+    from control_box_rst_tpu.ocp import (
+        Bounds, MinimumTime, Trajectory, finite_differences_variable_grid,
+    )
+    from control_box_rst_tpu.solvers import sqp_solve
+
+    X_ref, U_ref, TX = _load_plan_generic("closed_loop_di_timeopt.tsv.plan")
+    dt_ref_golden = TX[1] - TX[0]
+
+    grid = finite_differences_variable_grid(20, fd_scheme="crank_nicolson")
+    bounds = Bounds.unbounded(2, 1).with_u(-1.0, 1.0).with_dt(1e-3, 0.5)
+    ocp = transcribe(
+        DoubleIntegratorContinuous(), grid, MinimumTime(), bounds=bounds,
+        x0=jnp.array([1.5, 0.0]), xf=jnp.zeros(2),
+        xf_fixed=jnp.array([1.0, 1.0]),
+    )
+    traj0 = Trajectory.linear_interp(
+        jnp.array([1.5, 0.0]), jnp.zeros(2), 20, 1, 0.15
+    )
+    cfg = SQPConfig(max_iter=50, qp=QPConfig(max_iter=1000, tol=1e-10),
+                    tol_stat=1e-6, tol_feas=1e-8)
+    res = sqp_solve(ocp, traj0, cfg)
+    dt_star = float(res.traj.dts[0])
+    assert abs(dt_star - dt_ref_golden) < 1e-3, (
+        f"dt* {dt_star} vs reference {dt_ref_golden}"
+    )
+    u_err = np.max(np.abs(np.asarray(res.traj.U) - U_ref[:20]))
+    assert u_err < 1e-2, f"plan control err {u_err}"  # bang-bang, same switch
+
+
+def test_time_optimal_closed_loop_matches_cpp_reference():
+    """Case 5 closed loop: compare the approach phase (the braking arc up
+    to the bang switch, steps 0..12) plus the arrival time. Around and
+    after the switch a time-optimal controller chatters about the origin
+    — there the reference itself emits u = 1.018 (its soft bound penalty
+    overshoots) and pointwise comparison is meaningless; terminal
+    stabilization is DualModeController's job, matching the reference's
+    local-controller switch.
+
+    warm_start_shift=False: our moving-horizon shift advances by one GRID
+    stage (dt* = 0.1225 s) while the loop advances 0.1 s per step — fine
+    for fixed-dt grids, misaligned for variable-dt ones. The reference's
+    warmStartShifting is state-proximity based
+    (full_discretization_grid_base.cpp:230); without shifting both
+    controllers re-solve from the x0-overwritten previous plan, which is
+    the comparable configuration."""
+    from control_box_rst_tpu.ocp import (
+        Bounds, MinimumTime, finite_differences_variable_grid,
+    )
+
+    t, x_ref, u_ref = _load_golden("closed_loop_di_timeopt.tsv")
+    grid = finite_differences_variable_grid(20, fd_scheme="crank_nicolson")
+    bounds = Bounds.unbounded(2, 1).with_u(-1.0, 1.0).with_dt(1e-3, 0.5)
+    ocp = transcribe(
+        DoubleIntegratorContinuous(), grid, MinimumTime(), bounds=bounds,
+        x0=jnp.array([1.5, 0.0]), xf=jnp.zeros(2),
+        xf_fixed=jnp.array([1.0, 1.0]),
+    )
+    ctrl = PredictiveController(
+        nx=2, nu=1, ocp=ocp, dt=0.15, warm_start_shift=False,
+        cfg=SQPConfig(max_iter=50, qp=QPConfig(max_iter=1000, tol=1e-10),
+                      tol_stat=1e-6, tol_feas=1e-8),
+    )
+    plant = SimulatedPlant(system=DoubleIntegratorContinuous())
+    res = jax.jit(
+        lambda x: run_closed_loop(plant, ctrl, x, T_steps=40, dt=0.1)
+    )(jnp.asarray([1.5, 0.0]))
+    u = np.asarray(res.u)[:, 0]
+    ug = u_ref[:, 0]
+    # braking arc: steps 0..12 (golden switches sign at step 13)
+    n_cmp = 13
+    assert np.max(np.abs(u[:n_cmp] - ug[:n_cmp])) < 1e-2
+    x_err = np.max(np.abs(np.asarray(res.x_true[:n_cmp]) - x_ref[:n_cmp]))
+    assert x_err < 5e-3, f"state max err {x_err}"
+    # both arrive at the same time (position reaches the origin around
+    # t ~ 2 s; T* = 2.449 s for the plan, the closed loop cuts the corner).
+    # Post-goal the min-time problem is degenerate (T* -> 0, any control
+    # feasible): both loops wander — the reference within ~0.05, ours
+    # within ~0.2 — and the exact pattern is solver-specific; bounded
+    # wander is all that is asserted. (Tight terminal behavior is what
+    # DualModeController provides, matching the reference's design.)
+    p_ours = np.abs(np.asarray(res.x_true)[:, 0])
+    p_gold = np.abs(x_ref[:, 0])
+    assert p_gold[18:26].min() < 0.05 and p_gold[22:].max() < 0.25
+    assert p_ours[18:26].min() < 0.05 and p_ours[22:].max() < 0.25
+
+
+def test_multi_control_shooting_subsumption():
+    """Case 6: the reference's multi-control MultipleShootingEdge (4
+    controls per shooting interval, states only at interval boundaries;
+    ref shooting_grid_base.h:93-104, multiple_shooting_edges.h:378-690)
+    is subsumed by our fine single-control MS grid: chaining one-step MS
+    defects composes to the identical interval constraint, and with a pure
+    control + terminal cost the objectives coincide (the reference skips
+    non-integral STATE cost at non-shooting nodes — its own TODO at
+    multiple_shooting_grid.cpp:92 — so Q=0 makes the costs equal). This
+    test validates the PARITY.md subsumption claim against the reference's
+    actual multi-control solution."""
+    from control_box_rst_tpu.ocp import Trajectory, multiple_shooting_grid
+    from control_box_rst_tpu.solvers import sqp_solve
+
+    X_ref, U_ref, TX = _load_plan_generic("closed_loop_vdp_ms_multi.tsv.plan")
+    assert X_ref.shape[0] == 6  # states at shooting nodes only
+    U_ref = U_ref[:20]          # last row is the TimeSeries end repeat
+
+    cost = CompositeCost(
+        costs=(
+            QuadraticFormCost(Q=0.0 * jnp.eye(2), R=0.1 * jnp.eye(1)),
+            QuadraticFinalStateCost(Qf=5.0 * jnp.eye(2)),
+        )
+    )
+    grid = multiple_shooting_grid(20, integrator="rk4", substeps=1)
+    ocp = transcribe(VanDerPolOscillator(), grid, cost,
+                     x0=jnp.array([1.0, 0.5]))
+    traj0 = Trajectory.linear_interp(
+        jnp.array([1.0, 0.5]), jnp.zeros(2), 20, 1, 0.1
+    )
+    cfg = SQPConfig(max_iter=30, qp=QPConfig(max_iter=1000, tol=1e-12),
+                    tol_stat=1e-7, tol_feas=1e-9)
+    res = sqp_solve(ocp, traj0, cfg)
+    # controls: all 20 sub-step controls match the reference's 4-per-interval
+    u_err = np.max(np.abs(np.asarray(res.traj.U) - U_ref))
+    assert u_err < 1e-3, f"control err vs multi-control MS {u_err}"
+    # states at the shooting nodes match
+    x_nodes = np.asarray(res.traj.X)[::4]
+    x_err = np.max(np.abs(x_nodes - X_ref))
+    assert x_err < 1e-3, f"shooting-node state err {x_err}"

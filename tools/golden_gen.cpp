@@ -20,11 +20,26 @@
 //     -I/root/reference/src/optimal_control/include \
 //     -I/root/reference/src/tasks/include \
 //     -I/root/reference/src/extern/eigen3 \
-//     /tmp/corbo_build/src/*/libcorbo_*.a ... -o /tmp/golden_gen
+//     /tmp/corbo_build/optimal_control/libcorbo_optimal_control.a \
+//     /tmp/corbo_build/controllers/libcorbo_controllers.a \
+//     /tmp/corbo_build/optimization/libcorbo_optimization.a \
+//     /tmp/corbo_build/numerics/libcorbo_numerics.a \
+//     /tmp/corbo_build/systems/libcorbo_systems.a \
+//     /tmp/corbo_build/core/libcorbo_core.a -o /tmp/golden_gen
 //
-// Usage: golden_gen <case> <out.tsv>
-//   case 1: double integrator, quadratic cost, N=50 intervals, dt=0.1
-//   case 2: Van der Pol, quadratic cost, N=20 intervals, dt=0.1
+// Usage: golden_gen <case> <out.tsv> [lm_iters weight ocp_iters]
+//   case 1: double integrator, quadratic cost, FD grid (N=51 states), dt=0.1
+//   case 2: Van der Pol, quadratic cost, FD grid (N=21 states)
+//   case 3: double integrator, quadratic cost, ACTIVE control bounds |u|<=1
+//   case 4: Van der Pol, MultipleShootingGrid (single control/interval, RK4)
+//   case 5: double integrator, TIME-OPTIMAL FiniteDifferencesVariableGrid
+//           (MinimumTime cost, dt decision variable, xf fixed, |u|<=1)
+//   case 6: Van der Pol, MultipleShootingGrid with 4 controls per shooting
+//           interval (multi-control MS edges; no intermediate state cost)
+//
+// Output TSV: one row per closed-loop step: t, x..., u...
+// Side file <out>.plan: the step-0 plan — rows "x\t...", "u\t...", "tx\t..."
+// (plan state timestamps, needed for the variable-dt case 5).
 
 #include <cstdio>
 #include <memory>
@@ -34,10 +49,14 @@
 #include <corbo-core/reference_trajectory.h>
 #include <corbo-core/time.h>
 #include <corbo-core/time_series.h>
+#include <corbo-numerics/explicit_integrators.h>
 #include <corbo-numerics/finite_differences_collocation.h>
 #include <corbo-optimal-control/functions/final_state_cost.h>
+#include <corbo-optimal-control/functions/minimum_time.h>
 #include <corbo-optimal-control/functions/quadratic_cost.h>
 #include <corbo-optimal-control/structured_ocp/discretization_grids/finite_differences_grid.h>
+#include <corbo-optimal-control/structured_ocp/discretization_grids/finite_differences_variable_grid.h>
+#include <corbo-optimal-control/structured_ocp/discretization_grids/multiple_shooting_grid.h>
 #include <corbo-optimal-control/structured_ocp/structured_optimal_control_problem.h>
 #include <corbo-optimization/hyper_graph/hyper_graph_optimization_problem_edge_based.h>
 #include <corbo-optimization/solver/levenberg_marquardt_sparse.h>
@@ -66,7 +85,7 @@ static Eigen::VectorXd rk4_plant(const SystemDynamicsInterface& sys,
 
 int main(int argc, char** argv) {
   if (argc < 3) {
-    std::fprintf(stderr, "usage: golden_gen <case 1|2> <out.tsv>\n");
+    std::fprintf(stderr, "usage: golden_gen <case 1..6> <out.tsv>\n");
     return 1;
   }
   const int which = std::atoi(argv[1]);
@@ -78,6 +97,10 @@ int main(int argc, char** argv) {
   int T_steps;
   Eigen::VectorXd x0;
   Eigen::MatrixXd Q, R, Qf;
+  bool u_bounds = false;       // |u| <= 1
+  bool min_time = false;       // case 5
+  int ms_controls = 0;         // >0 -> MultipleShootingGrid
+  double Qf_scale_explicit = -1.0;
 
   if (which == 1) {
     dynamics = std::make_shared<SerialIntegratorSystem>(2);
@@ -87,7 +110,7 @@ int main(int argc, char** argv) {
     Q = Eigen::Matrix2d::Identity();
     R = Eigen::MatrixXd::Constant(1, 1, 0.1);
     Qf = 10.0 * Eigen::Matrix2d::Identity();
-  } else {
+  } else if (which == 2) {
     dynamics = std::make_shared<VanDerPolOscillator>();
     N_states = 21;
     T_steps = 60;
@@ -95,17 +118,86 @@ int main(int argc, char** argv) {
     Q = Eigen::Matrix2d::Identity();
     R = Eigen::MatrixXd::Constant(1, 1, 0.1);
     Qf = 5.0 * Eigen::Matrix2d::Identity();
+  } else if (which == 3) {
+    // active input bounds: start far enough out that u saturates hard
+    dynamics = std::make_shared<SerialIntegratorSystem>(2);
+    N_states = 51;
+    T_steps = 60;
+    x0 = Eigen::Vector2d(2.0, 0.5);
+    Q = Eigen::Matrix2d::Identity();
+    R = Eigen::MatrixXd::Constant(1, 1, 0.1);
+    Qf = 10.0 * Eigen::Matrix2d::Identity();
+    u_bounds = true;
+  } else if (which == 4) {
+    dynamics = std::make_shared<VanDerPolOscillator>();
+    N_states = 21;
+    T_steps = 60;
+    x0 = Eigen::Vector2d(1.0, 0.5);
+    Q = Eigen::Matrix2d::Identity();
+    R = Eigen::MatrixXd::Constant(1, 1, 0.1);
+    Qf = 5.0 * Eigen::Matrix2d::Identity();
+    ms_controls = 1;
+  } else if (which == 5) {
+    dynamics = std::make_shared<SerialIntegratorSystem>(2);
+    N_states = 21;
+    T_steps = 40;
+    x0 = Eigen::Vector2d(1.5, 0.0);
+    Q = Eigen::Matrix2d::Zero();
+    R = Eigen::MatrixXd::Zero(1, 1);
+    Qf = Eigen::Matrix2d::Zero();
+    u_bounds = true;
+    min_time = true;
+  } else {
+    // multi-control multiple shooting: 5 intervals x 4 controls;
+    // Q = 0 because the reference evaluates non-integral STATE cost only
+    // at shooting nodes (multiple_shooting_grid.cpp:92 TODO) — with pure
+    // control + terminal cost both transcriptions share the same objective
+    dynamics = std::make_shared<VanDerPolOscillator>();
+    N_states = 21;
+    T_steps = 40;
+    x0 = Eigen::Vector2d(1.0, 0.5);
+    Q = Eigen::Matrix2d::Zero();
+    R = Eigen::MatrixXd::Constant(1, 1, 0.1);
+    Qf = 5.0 * Eigen::Matrix2d::Identity();
+    ms_controls = 4;
   }
 
   const int p = dynamics->getStateDimension();
   const int q = dynamics->getInputDimension();
 
-  auto grid = std::make_shared<FiniteDifferencesGrid>();
-  grid->setNRef(N_states);
-  grid->setDtRef(dt);
-  grid->setFiniteDifferencesCollocationMethod(
-      std::make_shared<CrankNicolsonDiffCollocation>());
-  grid->setWarmStart(true);
+  DiscretizationGridInterface::Ptr grid;
+  if (ms_controls > 0) {
+    auto ms = std::make_shared<MultipleShootingGrid>();
+    ms->setNRef(N_states);
+    ms->setDtRef(dt);
+    ms->setNumericalIntegrator(
+        std::make_shared<IntegratorExplicitRungeKutta4>());
+    ms->setNumControlsPerShootingInterval(ms_controls,
+                                          /*intermediate_x_constraints=*/false);
+    ms->setWarmStart(true);
+    grid = ms;
+  } else if (min_time) {
+    auto vg = std::make_shared<FiniteDifferencesVariableGrid>();
+    vg->setNRef(N_states);
+    vg->setDtRef(dt);
+    vg->setFiniteDifferencesCollocationMethod(
+        std::make_shared<CrankNicolsonDiffCollocation>());
+    vg->setDtBounds(1e-3, 0.5);
+    vg->disableGridAdaptation();
+    Eigen::Matrix<bool, -1, 1> xf_fixed(2);
+    xf_fixed << true, true;
+    vg->setXfFixed(xf_fixed);
+    vg->setWarmStart(true);
+    grid = vg;
+  } else {
+    auto fd = std::make_shared<FiniteDifferencesGrid>();
+    fd->setNRef(N_states);
+    fd->setDtRef(dt);
+    fd->setFiniteDifferencesCollocationMethod(
+        std::make_shared<CrankNicolsonDiffCollocation>());
+    fd->setWarmStart(true);
+    grid = fd;
+  }
 
   auto hg = std::make_shared<HyperGraphOptimizationProblemEdgeBased>();
   auto solver = std::make_shared<LevenbergMarquardtSparse>();
@@ -124,8 +216,16 @@ int main(int argc, char** argv) {
 
   auto ocp = std::make_shared<StructuredOptimalControlProblem>(grid, dynamics,
                                                                hg, solver);
-  ocp->setStageCost(std::make_shared<QuadraticFormCost>(Q, R, false, true));
-  ocp->setFinalStageCost(std::make_shared<QuadraticFinalStateCost>(Qf, true));
+  if (min_time) {
+    ocp->setStageCost(std::make_shared<MinimumTime>(/*lsq_form=*/true));
+  } else {
+    ocp->setStageCost(std::make_shared<QuadraticFormCost>(Q, R, false, true));
+    ocp->setFinalStageCost(std::make_shared<QuadraticFinalStateCost>(Qf, true));
+  }
+  if (u_bounds) {
+    ocp->setControlBounds(Eigen::VectorXd::Constant(q, -1.0),
+                          Eigen::VectorXd::Constant(q, 1.0));
+  }
 
   PredictiveController ctrl;
   ctrl.setOptimalControlProblem(ocp);
@@ -172,6 +272,11 @@ int main(int argc, char** argv) {
             std::fprintf(fp, "\t%.17g", us[j]);
           std::fprintf(fp, "\n");
         }
+        // plan state timestamps (variable-dt grids)
+        std::fprintf(fp, "tx");
+        for (int i = 0; i < x_seq->getTimeDimension(); ++i)
+          std::fprintf(fp, "\t%.17g", x_seq->getTime()[i]);
+        std::fprintf(fp, "\n");
         std::fclose(fp);
       }
     }
