@@ -38,15 +38,19 @@ def make_batched_solver(
     the compiled program partitions over devices.
     """
     cfg = cfg or SQPConfig()
-    # fused Pallas QP rounds: single-vmap context over a TPU backend with a
-    # box-only QP — exactly the kernel's supported envelope. Multi-device
-    # meshes keep the XLA path: a pallas_call is opaque to GSPMD auto
-    # partitioning (to fuse across chips, wrap in shard_map per shard).
+    # fused Pallas QP rounds: box-only QP on a TPU backend — the kernel's
+    # supported envelope. On multi-device meshes the vmapped solve is
+    # wrapped in shard_map so each shard runs the fused kernel on ITS local
+    # batch (a bare pallas_call is opaque to GSPMD auto partitioning; the
+    # manual collective-free partitioning is exactly right here because
+    # every lane's solve is independent). Shards whose local batch is < 64
+    # fall back to the vmapped XLA reference inside the same program
+    # (custom_vmap rule in solvers/stage_qp.py) — which is also what makes
+    # the CPU virtual-mesh dry run work.
     if (
         cfg.qp.backend is None
         and ocp.ng == 0
         and jax.devices()[0].platform in ("tpu", "axon")
-        and (mesh is None or mesh.size == 1)
     ):
         cfg = cfg.replace(qp=cfg.qp.replace(backend="fused"))
     N, nu = ocp.N, ocp.nu
@@ -61,6 +65,12 @@ def make_batched_solver(
     fn = jax.vmap(solve_one)
     if mesh is None:
         return jax.jit(fn)
+    if mesh.size > 1:
+        fn = jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=P("batch"), out_specs=P("batch"),
+            check_vma=False,
+        )
     sh = NamedSharding(mesh, P("batch"))
     return jax.jit(fn, in_shardings=sh, out_shardings=sh)
 

@@ -85,7 +85,7 @@ static Eigen::VectorXd rk4_plant(const SystemDynamicsInterface& sys,
 
 int main(int argc, char** argv) {
   if (argc < 3) {
-    std::fprintf(stderr, "usage: golden_gen <case 1..6> <out.tsv>\n");
+    std::fprintf(stderr, "usage: golden_gen <case 1..7> <out.tsv>\n");
     return 1;
   }
   const int which = std::atoi(argv[1]);
@@ -147,6 +147,19 @@ int main(int argc, char** argv) {
     Qf = Eigen::Matrix2d::Zero();
     u_bounds = true;
     min_time = true;
+  } else if (which == 7) {
+    // bounded double integrator at the bench-distribution magnitude
+    // (bounds still bind: the unconstrained optimum from (1,0) starts at
+    // u = -2.59) — used by the f32 TPU production parity test, where the
+    // (2.0,0.5) start of case 3 sits above the f32 absolute-error floor
+    dynamics = std::make_shared<SerialIntegratorSystem>(2);
+    N_states = 51;
+    T_steps = 50;
+    x0 = Eigen::Vector2d(1.0, 0.0);
+    Q = Eigen::Matrix2d::Identity();
+    R = Eigen::MatrixXd::Constant(1, 1, 0.1);
+    Qf = 10.0 * Eigen::Matrix2d::Identity();
+    u_bounds = true;
   } else {
     // multi-control multiple shooting: 5 intervals x 4 controls;
     // Q = 0 because the reference evaluates non-integral STATE cost only
