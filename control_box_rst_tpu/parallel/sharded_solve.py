@@ -83,6 +83,20 @@ def make_batched_closed_loop(
     mesh: Optional[Mesh] = None,
 ):
     """Returns jitted fn (x0s [B,nx], keys [B,2]) → ClosedLoopResult batch."""
+    # batched rollouts put the per-step QP under a single vmap level — the
+    # fused Pallas kernel's envelope — so scenario MPC (BASELINE config 5)
+    # gets the same kernel as the open-loop batch solver
+    if (
+        controller.solver == "sqp"
+        and controller.cfg.qp.backend is None
+        and controller.ocp.ng == 0
+        and jax.devices()[0].platform in ("tpu", "axon")
+    ):
+        controller = controller.replace(
+            cfg=controller.cfg.replace(
+                qp=controller.cfg.qp.replace(backend="fused")
+            )
+        )
 
     def rollout(x0, key):
         return run_closed_loop(
