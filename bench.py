@@ -103,21 +103,18 @@ def main():
             file=sys.stderr,
         )
 
-    # single-solve p99 latency (real-time MPC stepping): block cyclic
-    # reduction linear solver — log-depth, ~6x lower latency at B=1
-    from control_box_rst_tpu.solvers import QPConfig, SQPConfig
-
-    cfg_lat = SQPConfig(
-        max_iter=6, qp=QPConfig(max_iter=100, tol=1e-5, linsolver="bcr"),
-        tol_stat=5e-4, tol_feas=1e-5,
-    )
-    solver1 = make_batched_solver(ocp, cfg_lat, dt_init=0.1)
+    # single-solve p99 latency (real-time MPC stepping), measured on the
+    # SAME production path as the throughput number. Round-4 sweep: every
+    # configuration sits at the ~23 ms tunnel round-trip floor (p50), and
+    # the fused one-shot has the best tail (p99 27-31 ms vs 79 ms for the
+    # many-dispatch XLA+bcr path, whose small launches magnify transport
+    # jitter); on-device compute is ~1 ms of that.
     x0_1 = x0s[:1]
-    jax.block_until_ready(solver1(x0_1)[0])
+    jax.block_until_ready(solver(x0_1)[0])
     lats = []
     for _ in range(50):
         t0 = time.perf_counter()
-        jax.block_until_ready(solver1(x0_1)[0])
+        jax.block_until_ready(solver(x0_1)[0])
         lats.append(time.perf_counter() - t0)
     p99_ms = float(np.percentile(np.asarray(lats), 99) * 1e3)
 

@@ -84,6 +84,8 @@ def build_grid(cfg: Dict[str, Any]):
         return grids.move_blocking_grid(
             N, cfg["blocks"], cfg.get("fd_scheme", "crank_nicolson"),
         )
+    if typ == "hermite_simpson_uncompressed":
+        return grids.hermite_simpson_uncompressed_grid(N)
     raise KeyError(f"unknown grid type {typ!r}")
 
 
@@ -361,6 +363,7 @@ def build_controller(config: Dict[str, Any]):
                 "time_based_aggressive": A.TimeBasedAggressiveEstimate,
                 "shrinking_horizon": A.SimpleShrinkingHorizon,
                 "redundant_controls": A.RedundantControls,
+                "grow_on_infeasibility": A.GrowOnInfeasibility,
             }
             kw = {k: v for k, v in a.items() if k != "type"}
             adaptation = kinds[a["type"]](**kw)
@@ -371,6 +374,7 @@ def build_controller(config: Dict[str, Any]):
                 cfg=cfg, solver=solver_type, ip_cfg=ip_cfg, lm_cfg=lm_cfg,
                 adaptation=adaptation,
                 warm_start_shift=bool(ctrl_cfg.get("warm_start_shift", True)),
+                n_active_init=int(ctrl_cfg.get("n_active_init", 0)),
             ),
             system,
         )

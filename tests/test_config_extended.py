@@ -154,3 +154,41 @@ def test_unknown_observer_and_cost_errors():
     cfg2["cost"] = {"type": "nonexistent_cost"}
     with pytest.raises(KeyError, match="nonexistent_cost"):
         run_experiment(cfg2)
+
+
+def test_uncompressed_hs_grid_yaml():
+    """Round-4 components reachable from YAML: uncompressed Hermite-Simpson
+    grid (midpoint decision states)."""
+    import copy
+
+    cfg = copy.deepcopy(BASE)
+    cfg["grid"] = {"type": "hermite_simpson_uncompressed", "N": 8}
+    rec = run_experiment(cfg)
+    u = _vals(rec, "applied_controls")
+    assert u.shape[0] == 25
+    assert np.all(np.abs(u) <= 1.0 + 1e-6)
+    x = _vals(rec, "plant_states")
+    assert np.linalg.norm(x[-1]) < 0.3  # regulated toward the origin
+
+
+def test_grow_on_infeasibility_yaml():
+    """Round-4 components reachable from YAML: grow-horizon-on-infeasibility
+    adaptation + short initial active horizon."""
+    import copy
+
+    cfg = copy.deepcopy(BASE)
+    cfg["grid"] = {"type": "fd", "N": 30, "fd_scheme": "crank_nicolson"}
+    cfg["xf"] = [0.0, 0.0]
+    cfg["xf_fixed"] = [True, True]
+    cfg["x0"] = [1.5, 0.0]
+    cfg["solver"] = {"max_iter": 30, "qp": {"max_iter": 1500, "tol": 1e-10}}
+    cfg["controller"] = {
+        "type": "predictive",
+        "adaptation": {"type": "grow_on_infeasibility", "feas_tol": 1e-4,
+                       "n_max": 30},
+        "n_active_init": 8,
+        "warm_start_shift": False,
+    }
+    rec = run_experiment(cfg)
+    ns = _vals(rec, "controller/n_active")
+    assert ns[0] <= 9 and ns[-1] > ns[0]  # horizon grew
