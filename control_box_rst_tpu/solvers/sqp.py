@@ -159,11 +159,24 @@ def sqp_solve(
         return Hd * free[:, None, :] * free[:, :, None]
 
     if hoist_JK:
-        J_c, K_c, _ = ocp.interval_jacobians(W0)
+        # LTI ⇒ J, K are the same at every W; evaluate them at a
+        # state-zeroed reference trajectory (keeping u/dt from traj0 —
+        # J/K depend on dt). Under vmap this matters a lot: in the batched
+        # solver x0 enters only through traj0.X, so the reference point is
+        # an UNBATCHED value and the whole linearization (and constant
+        # Hessian) is traced once per BATCH instead of once per lane —
+        # vmap only batches computations that consume batched inputs.
+        # (With a fully batched warm start, e.g. the closed-loop carry,
+        # this degrades gracefully to the per-lane evaluation.)
+        traj_ref = traj0.replace(
+            X=jnp.zeros((N + 1, ocp.nx), dtype)
+        )
+        W_jac = ocp.pack(traj_ref)
+        J_c, K_c, _ = ocp.interval_jacobians(W_jac)
         Jm_c = J_c * free[:-1, None, :]
         Km_c = K_c * free[1:, None, :]
     if hoist_H:
-        Hm_c = _mask_H(ocp.cost_hessian_blocks(W0))
+        Hm_c = _mask_H(ocp.cost_hessian_blocks(W_jac if hoist_JK else W0))
 
     # ---- one-shot LTI fast path (single fused kernel launch) ----
     # LTI dynamics + constant quadratic Hessian + box-only constraints make
