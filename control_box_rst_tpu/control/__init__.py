@@ -2,6 +2,7 @@ from control_box_rst_tpu.control.base import Controller, ControlOutput
 from control_box_rst_tpu.control.predictive import (
     PredictiveController,
     MPCCarry,
+    find_nearest_state,
     shift_warm_start,
 )
 from control_box_rst_tpu.control.classic import (

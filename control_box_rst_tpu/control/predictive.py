@@ -8,10 +8,14 @@ control, and auto-updates u_prev; warm starting comes from the grid's
 `warmStartShifting` (full_discretization_grid_base.cpp:230).
 
 TPU-first redesign: the OCP solve is the jitted SQP (solvers/sqp.py); the
-controller carry holds the full warm-start state (primal W + duals), and
-`shift_warm_start` implements the moving-horizon shift + tail extrapolation
-as pure array ops. The whole controller step jits and vmaps — a batch of
-plants each gets its own warm-start carry.
+controller carry holds the full warm-start state (primal W + duals).
+Shifting happens at the START of each step with the measured state — the
+reference's call order — using the state-proximity shift count
+(`find_nearest_state`), so variable-dt (time-optimal) grids stay aligned
+when dt* differs from the loop dt. `shift_warm_start` implements the
+dynamic-count moving-horizon shift + tail extrapolation as pure gather ops.
+The whole controller step jits and vmaps — a batch of plants each gets its
+own warm-start carry.
 """
 from __future__ import annotations
 
@@ -41,22 +45,66 @@ class MPCCarry(NamedTuple):
     # structured_optimal_control_problem.cpp:135-140)
 
 
-def shift_warm_start(W: jax.Array, nx: int) -> jax.Array:
-    """Moving-horizon shift: drop stage 0, duplicate-extrapolate the tail.
+def find_nearest_state(
+    W: jax.Array, x0: jax.Array, nx: int, lookahead: int = 20
+) -> jax.Array:
+    """State-proximity shift count: the index of the nearest already-planned
+    state to the new x0, found by the reference's greedy forward walk (stop
+    at the first non-decreasing distance).
+
+    (ref: FullDiscretizationGridBase::findNearestState,
+    full_discretization_grid_base.cpp:288-322 — keep ≥1 interval, look at
+    most 20 samples ahead, return 0 when the start state is unchanged.)
+    Jittable: the walk is expressed as first-non-decrease over a static
+    window instead of a data-dependent loop."""
+    N = W.shape[0] - 1
+    L = min(lookahead, N - 1)
+    d = jnp.linalg.norm(W[: L + 1, :nx] - x0, axis=1)
+    inc = d[1:] >= d[:-1]  # True where the walk would stop
+    first_stop = jnp.argmax(inc)  # 0 if all False
+    nearest = jnp.where(jnp.any(inc), first_stop, L)
+    return jnp.where(d[0] < 1e-12, 0, nearest).astype(jnp.int32)
+
+
+def shift_warm_start(W: jax.Array, nx: int, num_shift=1) -> jax.Array:
+    """Moving-horizon shift by `num_shift` stages (dynamic, jittable):
+    stage i takes old stage i+k, tail states extrapolate linearly along the
+    last planned interval, tail controls/dts hold the last real interval.
 
     (ref: FullDiscretizationGridBase::warmStartShifting,
-    full_discretization_grid_base.cpp:230 — shift by one stage, extrapolate
-    the final state linearly, hold the final control.)"""
-    W_shift = jnp.concatenate([W[1:], W[-1:]], axis=0)
-    # linear extrapolation of terminal state: x_N' = 2 x_N - x_{N-1}
-    x_extrap = 2.0 * W[-1, :nx] - W[-2, :nx]
-    W_shift = W_shift.at[-1, :nx].set(x_extrap)
-    # new stage N-1 needs control/dt: hold from previous last interval (N-1
-    # slot now holds old stage N whose u/dt are dummies) → copy old N-1
-    W_shift = W_shift.at[-2, nx:].set(W[-2, nx:])
-    # stage N dummies stay zero
-    W_shift = W_shift.at[-1, nx:].set(0.0)
-    return W_shift
+    full_discretization_grid_base.cpp:230-285 — shift by the
+    state-proximity count, extrapolate states `x_new = 2 x_{n-1} - x_{n-2}`
+    sequentially ≡ linear continuation through the last two states, hold
+    the final control. k = 0 is the identity.)"""
+    Np1 = W.shape[0]
+    N = Np1 - 1
+    k = jnp.asarray(num_shift, jnp.int32)
+    idx = jnp.arange(Np1, dtype=jnp.int32) + k
+    over = jnp.maximum(idx - N, 0)  # stages past the old horizon end
+    X = W[:, :nx]
+    rest = W[:, nx:]
+    x_shift = jnp.where(
+        (over > 0)[:, None],
+        X[N] + over[:, None].astype(X.dtype) * (X[N] - X[N - 1]),
+        X[jnp.minimum(idx, N)],
+    )
+    # controls/dt live on intervals 0..N-1 (stage N carries dummies): shift,
+    # hold the last real interval for the extrapolated tail, keep stage N 0
+    rest_shift = rest[jnp.minimum(idx, N - 1)]
+    rest_shift = rest_shift.at[-1].set(0.0)
+    return jnp.concatenate([x_shift, rest_shift], axis=1)
+
+
+def shift_stage_rows(a: jax.Array, num_shift, last: int) -> jax.Array:
+    """Shift stage-indexed rows (duals) by `num_shift`, duplicating the row
+    at index `last` for the tail (ref: the LM/OSQP warm start reuses the
+    final stage's multipliers for appended stages)."""
+    n = a.shape[0]
+    idx = jnp.minimum(
+        jnp.arange(n, dtype=jnp.int32) + jnp.asarray(num_shift, jnp.int32),
+        last,
+    )
+    return a[idx]
 
 
 @pytree_dataclass
@@ -136,6 +184,7 @@ class PredictiveController(Controller):
     def step(self, carry: MPCCarry, x: jax.Array, t, dt) -> tuple:
         ocp = self.ocp.replace(bc=self.ocp.bc.replace(x0=x))
         W = carry.W
+        y_dyn, y_gen, y_box = carry.y_dyn, carry.y_gen, carry.y_box
         n_active = carry.n_active
         # grid adaptation before the solve (ref: adaptGrid at grid update,
         # finite_differences_variable_grid.cpp:66)
@@ -148,11 +197,35 @@ class PredictiveController(Controller):
             ocp = ocp.replace(
                 stage_mask=stage_mask_from_n(n_active, ocp.N, W.dtype)
             )
+        # moving-horizon warm-start shift, at the START of the step with the
+        # measured state — the reference's call order (grid update:
+        # warmStartShifting(x0) before the x0 overwrite,
+        # full_discretization_grid_base.cpp:230). State-proximity shifting
+        # is what keeps variable-dt (time-optimal) grids aligned when the
+        # plan dt* differs from the loop dt: the shift count is however many
+        # planned states the plant actually passed (0, 1, 2, ...), not a
+        # fixed one-stage hop.
+        if self.warm_start_shift:
+            k = find_nearest_state(W, x, ocp.nx)
+            W = shift_warm_start(W, ocp.nx, k)
+            y_dyn = shift_stage_rows(y_dyn, k, ocp.N - 1)
+            y_gen = shift_stage_rows(y_gen, k, ocp.N)
+            y_box = shift_stage_rows(y_box, k, ocp.N)
         # overwrite x0 row, keep rest of warm start
         W = W.at[0, : ocp.nx].set(x)
-        warm = SQPWarmStart(
-            W=W, y_dyn=carry.y_dyn, y_gen=carry.y_gen, y_box=carry.y_box
-        )
+        # restore pinned terminal components after shifting — the shift's
+        # tail extrapolation writes THROUGH the goal state, and a pinned
+        # vertex keeps whatever value it holds; without this restore the
+        # extrapolated state becomes the frozen goal and the solver locks
+        # onto an overshoot-and-return branch. (ref: update() rewrites
+        # fixed xf components from xref right after warmStartShifting,
+        # full_discretization_grid_base.cpp:101-105.)
+        if ocp.bc.xf_fixed is not None and ocp.bc.xf is not None:
+            mask = jnp.asarray(ocp.bc.xf_fixed, W.dtype)
+            W = W.at[-1, : ocp.nx].set(
+                mask * ocp.bc.xf + (1.0 - mask) * W[-1, : ocp.nx]
+            )
+        warm = SQPWarmStart(W=W, y_dyn=y_dyn, y_gen=y_gen, y_box=y_box)
         traj_init = ocp.unpack(W)
         res = None
         if self.solver == "ip":
@@ -170,15 +243,15 @@ class PredictiveController(Controller):
             res = types.SimpleNamespace(
                 W=lm_res.W,
                 traj=lm_res.traj,
-                y_dyn=carry.y_dyn,
-                y_gen=carry.y_gen,
+                y_dyn=y_dyn,
+                y_gen=y_gen,
                 objective=ocp.objective_from_W(lm_res.W),
                 iterations=lm_res.iterations,
                 stat_res=lm_res.chi2,
                 feas_res=lm_res.feas_res,
                 status=lm_res.status,
             )
-            res_y_box = carry.y_box
+            res_y_box = y_box
             res_qp_iters = jnp.asarray(0, jnp.int32)
         else:
             for _ in range(self.num_ocp_iterations):
@@ -191,13 +264,10 @@ class PredictiveController(Controller):
             res_qp_iters = res.qp_iters
 
         u0 = res.traj.U[0]
-        if self.warm_start_shift:
-            W_next = shift_warm_start(res.W, ocp.nx)
-            y_dyn = jnp.concatenate([res.y_dyn[1:], res.y_dyn[-1:]], axis=0)
-            y_gen = jnp.concatenate([res.y_gen[1:], res.y_gen[-1:]], axis=0)
-            y_box = jnp.concatenate([res_y_box[1:], res_y_box[-1:]], axis=0)
-        else:
-            W_next, y_dyn, y_gen, y_box = res.W, res.y_dyn, res.y_gen, res_y_box
+        # the carry holds the UNSHIFTED solution; shifting happens at the
+        # start of the NEXT step, where the measured state determines the
+        # proximity shift count (matching the reference's call order)
+        W_next, y_dyn, y_gen, y_box = res.W, res.y_dyn, res.y_gen, res_y_box
         # duals from an unusable (infeasible/unconverged) solve are not a
         # warm start — ADMM iterated on an infeasible QP grows its duals
         # without bound, and carrying them poisons every later solve (the

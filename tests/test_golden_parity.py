@@ -257,21 +257,27 @@ def test_time_optimal_plan_matches_cpp_reference():
 
 
 def test_time_optimal_closed_loop_matches_cpp_reference():
-    """Case 5 closed loop: compare the approach phase (the braking arc up
-    to the bang switch, steps 0..12) plus the arrival time. Around and
-    after the switch a time-optimal controller chatters about the origin
-    — there the reference itself emits u = 1.018 (its soft bound penalty
-    overshoots) and pointwise comparison is meaningless; terminal
-    stabilization is DualModeController's job, matching the reference's
-    local-controller switch.
+    """Case 5 closed loop, FULL maneuver: approach arc, bang switch,
+    braking arc, and arrival (steps 0..23) compare pointwise at the
+    BASELINE 1e-3 control bar. Post-goal (steps 24+) the min-time problem
+    is degenerate (T* → 0, any feasible control optimal) and both
+    controllers chatter about the origin solver-specifically — there only
+    bounded wander is asserted; terminal stabilization is
+    DualModeController's job, matching the reference's dual-mode design.
 
-    warm_start_shift=False: our moving-horizon shift advances by one GRID
-    stage (dt* = 0.1225 s) while the loop advances 0.1 s per step — fine
-    for fixed-dt grids, misaligned for variable-dt ones. The reference's
-    warmStartShifting is state-proximity based
-    (full_discretization_grid_base.cpp:230); without shifting both
-    controllers re-solve from the x0-overwritten previous plan, which is
-    the comparable configuration."""
+    warm_start_shift=True (the default): shifting is state-proximity based
+    (find_nearest_state, matching the reference's warmStartShifting,
+    full_discretization_grid_base.cpp:230-322), so the variable-dt grid
+    stays aligned even though dt* = 0.1225 s while the loop advances 0.1 s
+    per step — the shift count is however many planned states the plant
+    actually passed, exactly like the reference. After the shift the
+    pinned xf components are restored from the goal, also like the
+    reference (update(), :101-105).
+
+    The golden's controls are clipped to [-1, 1] before comparison: the
+    reference enforces bounds via LM penalties and emits u = 1.018 for two
+    steps after the switch (its own soft-bound overshoot); we solve the
+    hard-constrained QP, which caps at the bound."""
     from control_box_rst_tpu.ocp import (
         Bounds, MinimumTime, finite_differences_variable_grid,
     )
@@ -285,7 +291,7 @@ def test_time_optimal_closed_loop_matches_cpp_reference():
         xf_fixed=jnp.array([1.0, 1.0]),
     )
     ctrl = PredictiveController(
-        nx=2, nu=1, ocp=ocp, dt=0.15, warm_start_shift=False,
+        nx=2, nu=1, ocp=ocp, dt=0.15,
         cfg=SQPConfig(max_iter=50, qp=QPConfig(max_iter=1000, tol=1e-10),
                       tol_stat=1e-6, tol_feas=1e-8),
     )
@@ -294,23 +300,18 @@ def test_time_optimal_closed_loop_matches_cpp_reference():
         lambda x: run_closed_loop(plant, ctrl, x, T_steps=40, dt=0.1)
     )(jnp.asarray([1.5, 0.0]))
     u = np.asarray(res.u)[:, 0]
-    ug = u_ref[:, 0]
-    # braking arc: steps 0..12 (golden switches sign at step 13)
-    n_cmp = 13
-    assert np.max(np.abs(u[:n_cmp] - ug[:n_cmp])) < 1e-2
+    ug = np.clip(u_ref[:, 0], -1.0, 1.0)
+    # full maneuver: approach + switch + braking + arrival (steps 0..23)
+    n_cmp = 24
+    u_err = np.max(np.abs(u[:n_cmp] - ug[:n_cmp]))
+    assert u_err < 1e-3, f"control max err {u_err}"
     x_err = np.max(np.abs(np.asarray(res.x_true[:n_cmp]) - x_ref[:n_cmp]))
     assert x_err < 5e-3, f"state max err {x_err}"
-    # both arrive at the same time (position reaches the origin around
-    # t ~ 2 s; T* = 2.449 s for the plan, the closed loop cuts the corner).
-    # Post-goal the min-time problem is degenerate (T* -> 0, any control
-    # feasible): both loops wander — the reference within ~0.05, ours
-    # within ~0.2 — and the exact pattern is solver-specific; bounded
-    # wander is all that is asserted. (Tight terminal behavior is what
-    # DualModeController provides, matching the reference's design.)
+    # post-goal: degenerate (see docstring) — both stay near the origin
     p_ours = np.abs(np.asarray(res.x_true)[:, 0])
     p_gold = np.abs(x_ref[:, 0])
-    assert p_gold[18:26].min() < 0.05 and p_gold[22:].max() < 0.25
-    assert p_ours[18:26].min() < 0.05 and p_ours[22:].max() < 0.25
+    assert p_gold[18:26].min() < 0.05 and p_gold[22:].max() < 0.05
+    assert p_ours[18:26].min() < 0.05 and p_ours[22:].max() < 0.05
 
 
 def test_multi_control_shooting_subsumption():
