@@ -115,7 +115,10 @@ def build_cost(cfg: Dict[str, Any], nx: int, nu: int):
             )
         )
     elif typ == "minimum_time":
-        parts.append(C.MinimumTime(weight=float(cfg.get("weight", 1.0))))
+        parts.append(C.MinimumTime(
+            weight=float(cfg.get("weight", 1.0)),
+            lsq_form=bool(cfg.get("lsq_form", False)),
+        ))
     elif typ == "minimum_time_regularized":
         parts.append(
             C.MinimumTimeRegularized(

@@ -124,12 +124,27 @@ class QuadraticControlCost(StageCost):
 class MinimumTime(StageCost):
     """Time-optimal objective: total time Σ dt_k (weight 1 per interval —
     the reference folds the interval count into a single-dt-vertex weight,
-    minimum_time.h:52-68; with per-stage evaluation the sum is identical)."""
+    minimum_time.h:52-68; with per-stage evaluation the sum is identical).
+
+    lsq_form=True mirrors the reference's LSQ mode exactly: the per-interval
+    residual is √weight·dt_k, i.e. the objective becomes weight·Σ dt_k² —
+    a genuinely DIFFERENT optimum on per-interval-dt (non-uniform) grids,
+    where the reference's LM solver spreads time across intervals instead
+    of minimizing the sum (minimum_time.h:50,60-66: isLsqFormNonIntegralDt,
+    lsq weight √(n−1) per dt edge). stage() returns the same χ² so the
+    SQP/IP backends optimize the identical objective as LM."""
 
     weight: jax.Array = 1.0
 
     def stage(self, x, u, dt, xref, uref):
+        if self.lsq_form:
+            return self.weight * dt * dt
         return self.weight * dt
+
+    def stage_residual(self, x, u, dt, xref, uref):
+        if self.lsq_form:
+            return jnp.sqrt(self.weight) * jnp.reshape(dt, (1,))
+        return jnp.zeros((0,))
 
 
 @pytree_dataclass

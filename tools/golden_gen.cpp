@@ -36,6 +36,11 @@
 //           (MinimumTime cost, dt decision variable, xf fixed, |u|<=1)
 //   case 6: Van der Pol, MultipleShootingGrid with 4 controls per shooting
 //           interval (multi-control MS edges; no intermediate state cost)
+//   case 8: double integrator, TIME-OPTIMAL NonUniformMultipleShooting-
+//           VariableGrid (per-interval dt vertices), adaptation OFF
+//   case 9: case 8 with the RedundantControls grid adaptation; rows gain
+//           a trailing per-step interval-count column
+//   case 10: case 8 with setDtEqConstraint(true) (dt tie equality edges)
 //
 // Output TSV: one row per closed-loop step: t, x..., u...
 // Side file <out>.plan: the step-0 plan — rows "x\t...", "u\t...", "tx\t..."
@@ -57,6 +62,7 @@
 #include <corbo-optimal-control/structured_ocp/discretization_grids/finite_differences_grid.h>
 #include <corbo-optimal-control/structured_ocp/discretization_grids/finite_differences_variable_grid.h>
 #include <corbo-optimal-control/structured_ocp/discretization_grids/multiple_shooting_grid.h>
+#include <corbo-optimal-control/structured_ocp/discretization_grids/non_uniform_multiple_shooting_variable_grid.h>
 #include <corbo-optimal-control/structured_ocp/structured_optimal_control_problem.h>
 #include <corbo-optimization/hyper_graph/hyper_graph_optimization_problem_edge_based.h>
 #include <corbo-optimization/solver/levenberg_marquardt_sparse.h>
@@ -99,6 +105,8 @@ int main(int argc, char** argv) {
   Eigen::MatrixXd Q, R, Qf;
   bool u_bounds = false;       // |u| <= 1
   bool min_time = false;       // case 5
+  bool nonuniform_ms = false;  // cases 8/9
+  DiscretizationGridInterface::Ptr grid_for_n;  // set -> dump per-step N
   int ms_controls = 0;         // >0 -> MultipleShootingGrid
   double Qf_scale_explicit = -1.0;
 
@@ -160,6 +168,25 @@ int main(int argc, char** argv) {
     R = Eigen::MatrixXd::Constant(1, 1, 0.1);
     Qf = 10.0 * Eigen::Matrix2d::Identity();
     u_bounds = true;
+  } else if (which == 8 || which == 9 || which == 10) {
+    // BASELINE config 4: NON-UNIFORM multiple-shooting variable grid
+    // (per-interval dt vertices, dt decision variables), MinimumTime,
+    // double integrator, |u| <= 1, xf fixed. Case 8 runs with grid
+    // adaptation off (plan + closed-loop parity); case 9 enables the
+    // RedundantControls adaptation (adapted interval count parity) —
+    // ref: non_uniform_multiple_shooting_variable_grid.h:34,
+    // adaptGridRedundantControls at
+    // non_uniform_finite_differences_variable_grid.cpp:259.
+    dynamics = std::make_shared<SerialIntegratorSystem>(2);
+    N_states = 11;
+    T_steps = 25;
+    x0 = Eigen::Vector2d(1.5, 0.0);
+    Q = Eigen::Matrix2d::Zero();
+    R = Eigen::MatrixXd::Zero(1, 1);
+    Qf = Eigen::Matrix2d::Zero();
+    u_bounds = true;
+    min_time = true;
+    nonuniform_ms = true;
   } else {
     // multi-control multiple shooting: 5 intervals x 4 controls;
     // Q = 0 because the reference evaluates non-integral STATE cost only
@@ -179,7 +206,30 @@ int main(int argc, char** argv) {
   const int q = dynamics->getInputDimension();
 
   DiscretizationGridInterface::Ptr grid;
-  if (ms_controls > 0) {
+  if (nonuniform_ms) {
+    auto nu_ms = std::make_shared<NonUniformMultipleShootingVariableGrid>();
+    nu_ms->setNRef(N_states);
+    nu_ms->setDtRef(dt);
+    nu_ms->setNumericalIntegrator(
+        std::make_shared<IntegratorExplicitRungeKutta4>());
+    nu_ms->setNumControlsPerShootingInterval(1);
+    nu_ms->setDtBounds(1e-3, 0.5);
+    if (which == 9)
+      nu_ms->setGridAdaptRedundantControls(/*n_max=*/15, /*backup=*/1,
+                                           /*epsilon=*/1e-3);
+    else
+      nu_ms->disableGridAdaptation();
+    // case 10: tie the per-interval dts with equality edges — the config
+    // whose optimum is unique (the free per-interval-dt LSQ min-time
+    // problem is multi-modal; see the case-8 parity test rationale)
+    if (which == 10) nu_ms->setDtEqConstraint(true);
+    Eigen::Matrix<bool, -1, 1> xf_fixed(2);
+    xf_fixed << true, true;
+    nu_ms->setXfFixed(xf_fixed);
+    nu_ms->setWarmStart(true);
+    grid = nu_ms;
+    grid_for_n = nu_ms;  // dump per-step interval count
+  } else if (ms_controls > 0) {
     auto ms = std::make_shared<MultipleShootingGrid>();
     ms->setNRef(N_states);
     ms->setDtRef(dt);
@@ -297,6 +347,7 @@ int main(int argc, char** argv) {
     std::fprintf(f, "%.17g", t);
     for (int i = 0; i < p; ++i) std::fprintf(f, "\t%.17g", x[i]);
     for (int i = 0; i < q; ++i) std::fprintf(f, "\t%.17g", u[i]);
+    if (grid_for_n) std::fprintf(f, "\t%d", grid_for_n->getN());
     std::fprintf(f, "\n");
     x = rk4_plant(*dynamics, x, u, dt);
   }
