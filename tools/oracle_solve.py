@@ -1,14 +1,14 @@
-"""f64 CPU oracle for the flagship config-1 problem (subprocess tool).
+"""f64 CPU oracle for the bench problems (subprocess tool).
 
-Solves the same batch of H=50 double-integrator MPC problems as bench.py,
-but in float64 on CPU with the XLA backend at tight tolerances — the
-ground truth for the bench quality gate and for fidelity experiments
-(ref strategy: the dense-oracle cross-check of SURVEY.md §4, aimed at the
-production operating point).
+Solves the same batch of MPC problems as bench.py, but in float64 on CPU
+with the XLA backend at tight tolerances — the ground truth for the bench
+quality gates and for fidelity experiments (ref strategy: the dense-oracle
+cross-check of SURVEY.md §4, aimed at the production operating point).
 
-Usage:  python tools/oracle_solve.py IN.npz OUT.npz
+Usage:  python tools/oracle_solve.py IN.npz OUT.npz [problem]
+  problem: 'flagship' (default, BASELINE config 1) or 'vdp_ms' (config 2)
   IN.npz:  x0s [B, 2] float
-  OUT.npz: U [B, 50, 1] float64, obj [B], converged [B] bool
+  OUT.npz: U [B, N, 1] float64, obj [B], converged [B] bool
 """
 import pathlib
 import sys
@@ -24,13 +24,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(in_path: str, out_path: str) -> None:
+def main(in_path: str, out_path: str, problem: str = "flagship") -> None:
     from control_box_rst_tpu.ocp.problem import Trajectory
     from control_box_rst_tpu.solvers import QPConfig, SQPConfig
     from control_box_rst_tpu.solvers.sqp import sqp_solve
-    from __graft_entry__ import _flagship
+    from __graft_entry__ import _flagship, _vdp_ms
 
-    ocp, _ = _flagship(N=50)
+    if problem == "vdp_ms":
+        ocp, _ = _vdp_ms(N=20)
+    else:
+        ocp, _ = _flagship(N=50)
     # f64 everywhere
     ocp = jax.tree.map(
         lambda a: a.astype(jnp.float64)
@@ -65,4 +68,4 @@ def main(in_path: str, out_path: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else "flagship")
