@@ -59,6 +59,12 @@ class SQPConfig:
     # proximal damping λ‖δ‖² added to the QP Hessian diagonal — stabilizes
     # degenerate problems (e.g. non-uniform minimum time, SURVEY.md §7(e))
     prox: float = static_field(default=0.0)
+    # Maratos-watchdog arming threshold: the full-step rescue (see the line
+    # search) only fires when the CURRENT iterate's ℓ1 infeasibility is
+    # already below this — the stall it repairs is a near-solution
+    # phenomenon, and far from feasibility the conservative minimum step
+    # must stay in charge
+    rescue_infeas_max: float = static_field(default=1e-3)
 
     def __post_init__(self):
         if self.qp is None:
@@ -92,12 +98,23 @@ def _psd_clamp(H: jax.Array, floor: float = 1e-8) -> jax.Array:
     return jnp.einsum("...ij,...j,...kj->...ik", V, w, V)
 
 
-def _merit(ocp: TranscribedOCP, W, lb, ub, nu):
+def _merit(ocp: TranscribedOCP, W, lb, ub, nu, free):
+    """ℓ1 merit φ = f + ν·infeas. Box violations are counted on FREE
+    entries only: pinned entries (x0 row, fixed-xf components, stage-N
+    dummy u/dt, fixed-dt columns) are equalities maintained by
+    construction, and the dummy slots sit OUTSIDE the broadcast bounds
+    (e.g. the stage-N dt dummy is 0 vs dt bounds [0.1, 0.1]) — counting
+    them adds a CONSTANT, irreducible infeasibility that skews dirderiv by
+    −ν·const and demands a per-step merit decrease (c1·ν·const·α) that no
+    step near the optimum can deliver: every candidate gets rejected and
+    the iteration creeps at the minimum step forever (the round-5 VdP-MS
+    stall — it looked like the Maratos effect but was this accounting
+    bug)."""
     f = ocp.objective_from_W(W)
     c = ocp.interval_residuals(W)
     r, rl, ru = ocp.general_rows(W)
     viol_gen = jnp.maximum(0.0, rl - r) + jnp.maximum(0.0, r - ru)
-    viol_box = jnp.maximum(0.0, lb - W) + jnp.maximum(0.0, W - ub)
+    viol_box = (jnp.maximum(0.0, lb - W) + jnp.maximum(0.0, W - ub)) * free
     infeas = jnp.sum(jnp.abs(c)) + jnp.sum(viol_gen) + jnp.sum(viol_box)
     return f + nu * infeas, infeas
 
@@ -295,17 +312,17 @@ def sqp_solve(
         )
         # ν tracks the current dual scale both ways: it must dominate the
         # duals for the ℓ1 merit to be exact, but a ν stuck at the scale of
-        # the FIRST iterations' duals makes the merit constraint-phobic near
-        # the solution and feeds the Maratos stall below (measured: VdP-MS
-        # lanes creeping at (1-α_min) per iteration for hundreds of
-        # iterations). Geometric decay toward the live dual scale keeps the
-        # exactness property while forgetting stale magnitudes.
+        # the FIRST iterations' duals makes the merit constraint-phobic
+        # near the solution (any residual infeasibility is over-penalized
+        # in dirderiv, tightening the Armijo demand). Geometric decay
+        # toward the live dual scale keeps the exactness property while
+        # forgetting stale magnitudes.
         nu_new = jnp.maximum(1.2 * y_max + 1e-3, 0.5 * nu)
-        phi0, infeas0 = _merit(ocp, W, lb, ub, nu_new)
+        phi0, infeas0 = _merit(ocp, W, lb, ub, nu_new, free)
         dirderiv = jnp.sum(grad * delta) - nu_new * infeas0
 
         def merit_at(a):
-            return _merit(ocp, W + a * delta, lb, ub, nu_new)
+            return _merit(ocp, W + a * delta, lb, ub, nu_new, free)
 
         phis, infeas_c = jax.vmap(merit_at)(alphas)
         ok = phis <= phi0 + cfg.ls_c1 * alphas * jnp.minimum(dirderiv, 0.0)
@@ -320,8 +337,10 @@ def sqp_solve(
         # fails across the board yet the trial point stays essentially
         # feasible, i.e. the rejection is second-order noise, not a real
         # feasibility loss).
-        rescue = (~any_ok) & (
-            infeas_c[0] <= jnp.maximum(10.0 * infeas0, tol_feas)
+        rescue = (
+            (~any_ok)
+            & (infeas0 <= cfg.rescue_infeas_max)
+            & (infeas_c[0] <= jnp.maximum(10.0 * infeas0, tol_feas))
         )
         alpha = jnp.where(
             any_ok, alphas[idx], jnp.where(rescue, alphas[0], alphas[-1])

@@ -27,7 +27,17 @@ def _tpu_lane_requested(argv) -> bool:
     return False
 
 
-_TPU_LANE = _tpu_lane_requested(sys.argv)
+# pytest-xdist workers don't carry the original argv; the master process
+# (which does) exports the lane decision through the environment, which
+# workers inherit. (The suite default is `-n 2 --dist loadfile`, see
+# pytest.ini — loadfile keeps every file, including the whole TPU lane,
+# on one worker, so module fixtures compile once and the single chip is
+# never contended.)
+_TPU_LANE = (
+    _tpu_lane_requested(sys.argv) or os.environ.get("CBRT_TPU_LANE") == "1"
+)
+if _TPU_LANE:
+    os.environ["CBRT_TPU_LANE"] = "1"
 
 if not _TPU_LANE:
     flags = os.environ.get("XLA_FLAGS", "")
@@ -44,4 +54,8 @@ if not _TPU_LANE:
     jax.config.update("jax_enable_x64", True)
 
     assert jax.default_backend() == "cpu"
-    assert jax.device_count() == 8, jax.devices()
+    # an externally-pinned xla_force_host_platform_device_count is honored
+    # (e.g. timing experiments); tests that NEED the 8-device mesh assert
+    # jax.device_count() themselves and fail loudly if it was overridden
+    if "xla_force_host_platform_device_count=8" in os.environ["XLA_FLAGS"]:
+        assert jax.device_count() == 8, jax.devices()
