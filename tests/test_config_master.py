@@ -66,6 +66,29 @@ def test_time_optimal_config():
     assert abs(ts[-1] - 2.0) < 0.2  # minimum time ≈ 2√d
 
 
+def test_minimum_time_lsq_form_config():
+    """YAML knob for the reference's LSQ MinimumTime mode (round 5,
+    minimum_time.h:50-66): per-interval-dt grid + lsq_form minimizes
+    (n-1)·Σdt² whose optimum is equal dts at the bang-bang T*."""
+    cfg = {
+        "experiment": {"task": "open_loop", "dt": 0.2},
+        "system": {"type": "serial_integrators", "params": {"nx": 2, "nu": 1}},
+        "grid": {"type": "multiple_shooting_variable_non_uniform", "N": 10},
+        "cost": {"type": "minimum_time", "weight": 10.0, "lsq_form": True},
+        "bounds": {"u_min": -1.0, "u_max": 1.0, "dt_min": 1e-3, "dt_max": 0.5},
+        "x0": [1.5, 0.0],
+        "xf": [0.0, 0.0],
+        "xf_fixed": [1.0, 1.0],
+        "solver": {"max_iter": 60, "qp_max_iter": 1000, "qp_tol": 1e-10},
+    }
+    rec = run_experiment(cfg)
+    ts = rec.get("planned_states")["times"]
+    # T* = 2 sqrt(1.5); equal dts by the QM-AM argument
+    assert abs(ts[-1] - 2.0 * np.sqrt(1.5)) < 1e-3
+    dts = np.diff(ts)
+    np.testing.assert_allclose(dts, dts.mean(), atol=1e-4)
+
+
 def test_master_cli(tmp_path):
     cfg_path = os.path.join(tmp_path, "exp.yaml")
     with open(cfg_path, "w") as f:
