@@ -106,5 +106,15 @@ def make_batched_closed_loop(
     fn = jax.vmap(rollout)
     if mesh is None:
         return jax.jit(fn)
+    if mesh.size > 1:
+        # same shard_map treatment as make_batched_solver: a pallas_call
+        # inside the per-step QP is opaque to GSPMD auto-partitioning, so
+        # each shard runs the whole rollout scan (and its fused kernel) on
+        # its LOCAL batch — collective-free, every lane independent
+        fn = jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P("batch"), P("batch")), out_specs=P("batch"),
+            check_vma=False,
+        )
     sh = NamedSharding(mesh, P("batch"))
     return jax.jit(fn, in_shardings=(sh, sh), out_shardings=sh)

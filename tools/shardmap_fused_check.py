@@ -81,6 +81,33 @@ def main() -> int:
     assert conv_f >= 0.99, f"fused converged_frac {conv_f}"
     assert conv_x >= 0.99, f"xla converged_frac {conv_x}"
     assert dU < 1e-3, f"sharded-fused vs single-device-xla max |dU| = {dU}"
+
+    # ---- closed-loop rollouts through shard_map + fused (config 5's
+    # multi-device path, parallel/sharded_solve.py:make_batched_closed_loop)
+    from control_box_rst_tpu.control import PredictiveController
+    from control_box_rst_tpu.models import DoubleIntegratorContinuous
+    from control_box_rst_tpu.parallel import make_batched_closed_loop
+    from control_box_rst_tpu.sim import SimulatedPlant
+
+    traces_before = calls["n"]
+    T_steps = 5
+    ctrl = PredictiveController(nx=2, nu=1, ocp=ocp, dt=0.1, cfg=cfg_fused)
+    plant = SimulatedPlant(system=DoubleIntegratorContinuous())
+    fn = make_batched_closed_loop(ctrl, plant, T_steps, 0.1, mesh=mesh)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    res = fn(shard_batch(x0s, mesh), shard_batch(keys, mesh))
+    jax.block_until_ready(res.u)
+    assert calls["n"] > traces_before, "rollout path never hit the kernel"
+    assert len(res.u.sharding.device_set) == 8, res.u.sharding
+    ctrl_x = PredictiveController(nx=2, nu=1, ocp=ocp, dt=0.1, cfg=cfg_xla)
+    fn_x = make_batched_closed_loop(ctrl_x, plant, T_steps, 0.1)
+    res_x = fn_x(x0s, keys)
+    jax.block_until_ready(res_x.u)
+    usable = float(jnp.mean(res.ok.astype(jnp.float32)))
+    dU_r = float(jnp.max(jnp.abs(res.u - res_x.u)))
+    print(f"rollouts: usable={usable} max|dU|={dU_r:.2e}")
+    assert usable >= 0.99
+    assert dU_r < 1e-3, f"sharded-fused rollouts vs xla max |dU| = {dU_r}"
     print("OK")
     return 0
 
