@@ -46,7 +46,8 @@ class MPCCarry(NamedTuple):
 
 
 def find_nearest_state(
-    W: jax.Array, x0: jax.Array, nx: int, lookahead: int = 20
+    W: jax.Array, x0: jax.Array, nx: int, lookahead: int = 20,
+    n_active=None,
 ) -> jax.Array:
     """State-proximity shift count: the index of the nearest already-planned
     state to the new x0, found by the reference's greedy forward walk (stop
@@ -56,17 +57,23 @@ def find_nearest_state(
     full_discretization_grid_base.cpp:288-322 — keep ≥1 interval, look at
     most 20 samples ahead, return 0 when the start state is unchanged.)
     Jittable: the walk is expressed as first-non-decrease over a static
-    window instead of a data-dependent loop."""
+    window instead of a data-dependent loop. With a masked variable
+    horizon, pass `n_active` so the walk never considers the inactive tail
+    (its rows hold resampled/duplicated data) and at least one active
+    interval is kept."""
     N = W.shape[0] - 1
     L = min(lookahead, N - 1)
     d = jnp.linalg.norm(W[: L + 1, :nx] - x0, axis=1)
+    if n_active is not None:
+        idx = jnp.arange(L + 1)
+        d = jnp.where(idx <= n_active - 1, d, jnp.inf)
     inc = d[1:] >= d[:-1]  # True where the walk would stop
     first_stop = jnp.argmax(inc)  # 0 if all False
     nearest = jnp.where(jnp.any(inc), first_stop, L)
     return jnp.where(d[0] < 1e-12, 0, nearest).astype(jnp.int32)
 
 
-def shift_warm_start(W: jax.Array, nx: int, num_shift=1) -> jax.Array:
+def shift_warm_start(W: jax.Array, nx: int, num_shift=1, n_active=None) -> jax.Array:
     """Moving-horizon shift by `num_shift` stages (dynamic, jittable):
     stage i takes old stage i+k, tail states extrapolate linearly along the
     last planned interval, tail controls/dts hold the last real interval.
@@ -75,7 +82,14 @@ def shift_warm_start(W: jax.Array, nx: int, num_shift=1) -> jax.Array:
     full_discretization_grid_base.cpp:230-285 — shift by the
     state-proximity count, extrapolate states `x_new = 2 x_{n-1} - x_{n-2}`
     sequentially ≡ linear continuation through the last two states, hold
-    the final control. k = 0 is the identity.)"""
+    the final control. k = 0 is the identity.)
+
+    With a masked variable horizon pass `n_active`: the u/dt gather is then
+    clamped to the last ACTIVE interval — the inactive tail carries dummy
+    zeros, and importing a zero dt into the active range NaNs every
+    1/dt-containing defect scheme. (States need no clamp: under masking the
+    tail rows duplicate the terminal state, so the gather/extrapolation is
+    already benign.)"""
     Np1 = W.shape[0]
     N = Np1 - 1
     k = jnp.asarray(num_shift, jnp.int32)
@@ -90,7 +104,11 @@ def shift_warm_start(W: jax.Array, nx: int, num_shift=1) -> jax.Array:
     )
     # controls/dt live on intervals 0..N-1 (stage N carries dummies): shift,
     # hold the last real interval for the extrapolated tail, keep stage N 0
-    rest_shift = rest[jnp.minimum(idx, N - 1)]
+    last_real = (
+        jnp.asarray(N - 1, jnp.int32) if n_active is None
+        else jnp.asarray(n_active, jnp.int32) - 1
+    )
+    rest_shift = rest[jnp.minimum(idx, last_real)]
     rest_shift = rest_shift.at[-1].set(0.0)
     return jnp.concatenate([x_shift, rest_shift], axis=1)
 
@@ -206,8 +224,12 @@ class PredictiveController(Controller):
         # planned states the plant actually passed (0, 1, 2, ...), not a
         # fixed one-stage hop.
         if self.warm_start_shift:
-            k = find_nearest_state(W, x, ocp.nx)
-            W = shift_warm_start(W, ocp.nx, k)
+            # n_active == N when unmasked, so passing it unconditionally
+            # reduces to the plain shift there and guards masked horizons
+            # (adaptation or n_active_init) against importing the inactive
+            # tail's dummy rows
+            k = find_nearest_state(W, x, ocp.nx, n_active=n_active)
+            W = shift_warm_start(W, ocp.nx, k, n_active=n_active)
             y_dyn = shift_stage_rows(y_dyn, k, ocp.N - 1)
             y_gen = shift_stage_rows(y_gen, k, ocp.N)
             y_box = shift_stage_rows(y_box, k, ocp.N)

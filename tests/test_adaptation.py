@@ -228,3 +228,97 @@ def test_grow_horizon_until_feasible():
     assert 29 <= ns[-1] <= 34
     # growth stopped once feasible
     assert ns[-1] == ns[-3]
+
+
+# ---------------------------------------------------------------------------
+# Round-5 warm-start shifting: unit semantics + interaction with adaptation
+# ---------------------------------------------------------------------------
+
+
+def test_find_nearest_state_semantics():
+    """Greedy proximity walk matches the reference's findNearestState
+    (full_discretization_grid_base.cpp:288-322): 0 for an unchanged start,
+    the nearest index while distances decrease, stop at the first rise."""
+    from control_box_rst_tpu.control import find_nearest_state
+
+    X = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [3.0, 0.0],
+                     [4.0, 0.0]])
+    W = jnp.concatenate([X, jnp.zeros((5, 2))], axis=1)  # nz=4, nx=2
+    # unchanged start -> 0
+    assert int(find_nearest_state(W, jnp.asarray([0.0, 0.0]), 2)) == 0
+    # x0 closest to state 2
+    assert int(find_nearest_state(W, jnp.asarray([2.1, 0.0]), 2)) == 2
+    # monotone approach past the end: capped at N-1 (keep >= 1 interval)
+    assert int(find_nearest_state(W, jnp.asarray([9.0, 0.0]), 2)) == 3
+    # masked horizon: the walk must not enter the inactive tail
+    assert int(find_nearest_state(W, jnp.asarray([9.0, 0.0]), 2,
+                                  n_active=jnp.asarray(2))) == 1
+
+
+def test_shift_warm_start_dynamic_count():
+    """k=0 is the identity; k=1 matches drop-first + linear tail
+    extrapolation + held last control; k=2 extrapolates two stages along
+    the last planned interval (x_N + m*(x_N - x_{N-1}))."""
+    from control_box_rst_tpu.control import shift_warm_start
+
+    N, nx, nu = 4, 2, 1
+    X = jnp.arange(N + 1, dtype=jnp.float64)[:, None] * jnp.asarray([[1.0, 10.0]])
+    U = 0.1 * jnp.arange(N, dtype=jnp.float64)[:, None]
+    U_pad = jnp.concatenate([U, jnp.zeros((1, nu))], axis=0)
+    dts = jnp.concatenate([jnp.full((N,), 0.1), jnp.zeros((1,))])[:, None]
+    W = jnp.concatenate([X, U_pad, dts], axis=1)
+
+    W0 = shift_warm_start(W, nx, 0)
+    np.testing.assert_allclose(np.asarray(W0), np.asarray(W), atol=1e-15)
+
+    W1 = shift_warm_start(W, nx, 1)
+    np.testing.assert_allclose(np.asarray(W1[:-1, :nx]), np.asarray(X[1:]),
+                               atol=1e-15)
+    # tail state: linear continuation x_N + (x_N - x_{N-1})
+    np.testing.assert_allclose(np.asarray(W1[-1, :nx]),
+                               np.asarray(2 * X[-1] - X[-2]), atol=1e-15)
+    # controls shift; last real interval holds the final control
+    np.testing.assert_allclose(np.asarray(W1[:-2, nx]), np.asarray(U[1:, 0]),
+                               atol=1e-15)
+    assert float(W1[-2, nx]) == float(U[-1, 0])
+    assert float(W1[-1, nx]) == 0.0  # stage-N dummies stay zero
+
+    W2 = shift_warm_start(W, nx, 2)
+    np.testing.assert_allclose(np.asarray(W2[-1, :nx]),
+                               np.asarray(X[-1] + 2 * (X[-1] - X[-2])),
+                               atol=1e-15)
+
+
+def test_shifting_with_adaptation_closed_loop():
+    """Proximity shifting ON together with a grid adaptation strategy (the
+    round-5 order: adapt -> shift(n_active-capped) -> x0/xf overwrite).
+    The time-optimal loop must still reach the goal."""
+    from control_box_rst_tpu.control import PredictiveController
+    from control_box_rst_tpu.models import DoubleIntegratorContinuous
+    from control_box_rst_tpu.ocp import (
+        Bounds, MinimumTime, finite_differences_variable_grid, transcribe,
+    )
+    from control_box_rst_tpu.sim import SimulatedPlant, run_closed_loop
+
+    N = 25
+    grid = finite_differences_variable_grid(N, fd_scheme="crank_nicolson")
+    bounds = Bounds.unbounded(2, 1).with_u(-1.0, 1.0).with_dt(1e-3, 0.5)
+    ocp = transcribe(
+        DoubleIntegratorContinuous(), grid, MinimumTime(), bounds=bounds,
+        x0=jnp.array([1.0, 0.0]), xf=jnp.zeros(2),
+        xf_fixed=jnp.array([1.0, 1.0]),
+    )
+    ad = TimeBasedSingleStep(dt_ref=0.1, n_min=5, n_max=N)
+    ctrl = PredictiveController(
+        nx=2, nu=1, ocp=ocp, dt=0.1, adaptation=ad,
+        cfg=SQPConfig(max_iter=40, qp=QPConfig(max_iter=800, tol=1e-10),
+                      tol_stat=1e-6, tol_feas=1e-8),
+    )
+    plant = SimulatedPlant(system=DoubleIntegratorContinuous())
+    res = jax.jit(
+        lambda x: run_closed_loop(plant, ctrl, x, T_steps=30, dt=0.1)
+    )(jnp.asarray([1.0, 0.0]))
+    p = np.abs(np.asarray(res.x_true)[:, 0])
+    assert p[16:26].min() < 0.05  # arrives (T* = 2 for d = 1)
+    n_act = np.asarray(res.info["n_active"])
+    assert n_act.min() >= 5 and n_act.max() <= N
